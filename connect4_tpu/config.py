@@ -1,0 +1,153 @@
+"""Configuration for the framework.
+
+Dataclass equivalents of the reference's config system
+(``/root/reference/oinkoink/neural/config.py:7-81``), extended with the
+TPU-specific knobs (self-play batch width, tree capacity, mesh shape) that
+replace the reference's process/thread counts. Like the reference, a user
+config is a Python file defining ``config`` (see ``connect4_tpu.cli``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class NetConfig:
+    """Architecture of the value+policy net
+    (reference defaults: ``/root/reference/oinkoink/neural/config.py:7-16``)."""
+
+    channels: int = 3
+    filters: int = 32
+    n_fc_layers: int = 4
+    n_residuals: int = 3
+    # TPU-specific: compute dtype for the conv tower. float32 matches the
+    # reference; bfloat16 feeds the MXU at double rate and is the fast path.
+    compute_dtype: str = "float32"
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Optimiser + training schedule
+    (``/root/reference/oinkoink/neural/config.py:19-39``). ``milestones``
+    are in *generations*, matching the reference's per-generation LR step."""
+
+    net_config: NetConfig = dataclasses.field(default_factory=NetConfig)
+    weight_decay: float = 1e-4
+    momentum: float = 0.9
+    initial_lr: float = 0.01
+    milestones: Tuple[int, ...] = (100, 300, 600)
+    gamma: float = 0.1
+    batch_size: int = 4096
+    n_training_epochs: int = 5
+
+    def lr_at_generation(self, gen: int) -> float:
+        """MultiStep schedule: decay by ``gamma`` at each milestone, stepped
+        once per generation (``/root/reference/oinkoink/neural/pytorch/model.py:154-156,239``)."""
+        passed = sum(1 for m in self.milestones if gen >= m)
+        return self.initial_lr * (self.gamma**passed)
+
+
+@dataclasses.dataclass
+class MCTSConfig:
+    """Search hyperparameters (``/root/reference/oinkoink/mcts.py:13-26``)."""
+
+    simulations: int = 800
+    pb_c_base: float = 19652.0
+    pb_c_init: float = 1.25
+    root_dirichlet_alpha: float = 0.0
+    root_exploration_fraction: float = 0.0
+    num_sampling_moves: int = 0
+    # TPU-specific: tree capacity per game. None => exact worst case
+    # (1 + 7 * simulations) so semantics never degrade; smaller values trade
+    # memory for a clamped allocator (overflowing sims reuse the last block).
+    max_nodes: Optional[int] = None
+
+    def tree_capacity(self) -> int:
+        if self.max_nodes is not None:
+            return self.max_nodes
+        return 1 + 7 * self.simulations
+
+
+@dataclasses.dataclass
+class StorageConfig:
+    """Filesystem layout (``/root/reference/oinkoink/neural/config.py:42-47``).
+    ``save_dir/<gen>/`` holds per-generation artifacts, mirroring the
+    reference's resume convention."""
+
+    save_dir: str = dataclasses.field(
+        default_factory=lambda: os.path.expanduser("~/connect4_tpu_runs")
+    )
+    data_dir: str = dataclasses.field(
+        default_factory=lambda: os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "data", "files"
+        )
+    )
+
+
+@dataclasses.dataclass
+class AlphaZeroConfig:
+    """Top-level training configuration
+    (``/root/reference/oinkoink/neural/config.py:50-81``).
+
+    The reference's ``game_processes``/``game_threads`` (OS-level
+    parallelism) are replaced by ``selfplay_batch``: the number of games
+    stepped in lockstep on-device. The reference's defaults are kept for
+    everything with a direct counterpart.
+    """
+
+    model_config: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    storage_config: StorageConfig = dataclasses.field(default_factory=StorageConfig)
+    simulations: int = 800
+    pb_c_base: float = 19652.0
+    pb_c_init: float = 1.25
+    root_dirichlet_alpha: float = 0.3
+    root_exploration_fraction: float = 0.25
+    num_sampling_moves: int = 6
+    n_eval: int = 1  # run a gating match every n_eval generations
+    n_training_games: int = 1200
+    selfplay_batch: int = 1200  # games in flight on-device per wave
+    max_nodes: Optional[int] = None
+    seed: int = 0
+    # Device mesh axis sizes for scale-out; None => use all local devices
+    # in a 1-D data mesh.
+    mesh_shape: Optional[Tuple[int, ...]] = None
+
+    def search_config(self, training: bool) -> MCTSConfig:
+        """Exploration on for self-play, off for evaluation matches
+        (``/root/reference/oinkoink/neural/training.py:209-223``)."""
+        if training:
+            return MCTSConfig(
+                simulations=self.simulations,
+                pb_c_base=self.pb_c_base,
+                pb_c_init=self.pb_c_init,
+                root_dirichlet_alpha=self.root_dirichlet_alpha,
+                root_exploration_fraction=self.root_exploration_fraction,
+                num_sampling_moves=self.num_sampling_moves,
+                max_nodes=self.max_nodes,
+            )
+        return MCTSConfig(
+            simulations=self.simulations,
+            pb_c_base=self.pb_c_base,
+            pb_c_init=self.pb_c_init,
+            root_dirichlet_alpha=0.0,
+            root_exploration_fraction=0.0,
+            num_sampling_moves=0,
+            max_nodes=self.max_nodes,
+        )
+
+
+def load_config_file(path: str) -> AlphaZeroConfig:
+    """Execute a user config file that defines ``config``; the same
+    Python-file-as-config mechanism as ``/root/reference/oinkoink/main.py:80-83``."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("user_config", path)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    config = module.config
+    if not isinstance(config, AlphaZeroConfig):
+        raise TypeError(f"{path} must define `config: AlphaZeroConfig`")
+    return config

@@ -1,0 +1,87 @@
+"""Position evaluators.
+
+The centre-weighted heuristic mirrors the reference's deterministic fake
+evaluator used for NN-free search tests and early-gen gating opponents
+(``/root/reference/oinkoink/evaluators.py:28-63``): each stone scores its
+distance-from-edge weight, value = 0.5 + (o_score - x_score) / grid_sum,
+prior uniform. Both a scalar host version and a batched device version are
+provided; both compute in float32 so fidelity tests can compare search
+trees across the two implementations.
+
+The reference's ``Evaluator`` memoisation cache
+(``/root/reference/oinkoink/evaluators.py:9-25``) is intentionally absent
+on-device: it only ever saved repeated NN calls across a worker's games and
+has no semantic effect at fixed simulation count (SURVEY.md §2.5); the
+batched design amortises evaluation across the whole batch instead.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from connect4_tpu.env.core import BoardState
+from connect4_tpu.env.host_board import HostBoard
+from connect4_tpu.types import HEIGHT, WIDTH
+
+
+def _make_centre_grid() -> np.ndarray:
+    col_w = np.minimum(np.arange(WIDTH), np.arange(WIDTH)[::-1]).astype(np.float32)
+    row_w = np.minimum(np.arange(HEIGHT), np.arange(HEIGHT)[::-1]).astype(np.float32)
+    return row_w[:, None] + col_w[None, :]
+
+
+CENTRE_GRID = _make_centre_grid()  # [6, 7], symmetric both ways
+CENTRE_GRID_SUM = float(CENTRE_GRID.sum())  # 96.0
+UNIFORM_PRIOR = np.full((WIDTH,), 1.0 / WIDTH, dtype=np.float32)
+
+# Batched evaluator signature: BoardState[B] -> (value[B], prior[B, 7]).
+BatchedEvaluator = Callable[[BoardState], Tuple[jax.Array, jax.Array]]
+
+
+def centre_value_host(board: HostBoard) -> float:
+    """Scalar heuristic value in float32 (orientation-invariant: the grid is
+    symmetric, so bottom-up planes score identically to the reference's
+    top-down ones)."""
+    grid = CENTRE_GRID
+    o = board.pieces[0].astype(np.float32)
+    x = board.pieces[1].astype(np.float32)
+    diff = np.float32((o * grid).sum()) - np.float32((x * grid).sum())
+    return float(np.float32(0.5) + diff / np.float32(CENTRE_GRID_SUM))
+
+
+def centre_evaluator_host(board: HostBoard) -> Tuple[float, np.ndarray]:
+    return centre_value_host(board), UNIFORM_PRIOR.copy()
+
+
+def centre_evaluator_batched(state: BoardState) -> Tuple[jax.Array, jax.Array]:
+    grid = jnp.asarray(CENTRE_GRID)
+    o = state.pieces[..., 0, :, :].astype(jnp.float32)
+    x = state.pieces[..., 1, :, :].astype(jnp.float32)
+    diff = jnp.sum(o * grid, axis=(-2, -1)) - jnp.sum(x * grid, axis=(-2, -1))
+    value = 0.5 + diff / jnp.float32(CENTRE_GRID_SUM)
+    prior = jnp.broadcast_to(
+        jnp.asarray(UNIFORM_PRIOR), state.age.shape + (WIDTH,)
+    )
+    return value, prior
+
+
+def make_net_evaluator(net, params, batch_stats) -> BatchedEvaluator:
+    """Wrap a Flax net into the batched evaluator interface. Leaf boards are
+    encoded on-device and evaluated in one forward — the role the
+    reference's cross-process InferenceServer played
+    (``/root/reference/oinkoink/neural/inference_server.py:37-63``)."""
+    from connect4_tpu.env.core import to_planes
+
+    def evaluate(state: BoardState):
+        planes = to_planes(state)  # [..., 3, 6, 7]
+        nhwc = jnp.moveaxis(planes, -3, -1)
+        return net.apply(
+            {"params": params, "batch_stats": batch_stats}, nhwc, train=False
+        )
+
+    return evaluate

@@ -1,0 +1,431 @@
+"""Batched flat-tensor MCTS under jit.
+
+This is the TPU-native replacement for the reference's pointer-tree search
+(``/root/reference/oinkoink/mcts.py:94-121``, ``tree.py:61-147``): instead
+of one Python object tree per game walked by 200 threads feeding a
+cross-process inference server, every game in a batch owns a slab of
+preallocated tree tensors, and one simulation for *all* games is a single
+fixed-shape array program — PUCT selection is a masked argmax over child
+slots, expansion is an index allocation plus seven vectorised env steps,
+leaf evaluation is one batched network forward, and backup is a gather /
+scatter walk along parent pointers. The whole search compiles once and
+stays on-device.
+
+Semantics match the host oracle (``connect4_tpu.mcts.host``) — and through
+it the reference — including: value-based move selection, value^2 sampling
+for opening plies, root-only Dirichlet noise, masked-renormalised priors,
+"unknown child = 0.0", terminal revisit re-accumulation, and largest-move
+tie-breaks. Fidelity is enforced by tests/test_mcts.py.
+
+Memory layout per game (N = tree capacity = 1 + 7*simulations by default):
+child slots are allocated seven at a time, so a node's children occupy the
+contiguous block ``[children_base, children_base + 7)`` and the move that
+leads to a child is its offset in the block. Invalid moves still get slots;
+they are unselectable (score = -inf under the legal-move mask).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from connect4_tpu.config import MCTSConfig
+from connect4_tpu.env.core import (
+    BoardState,
+    legal_moves,
+    result_value,
+    step,
+    to_planes,
+)
+from connect4_tpu.eval.evaluators import BatchedEvaluator
+from connect4_tpu.types import ONGOING, WIDTH
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+class TreeArrays(NamedTuple):
+    """Struct-of-arrays search tree, batch-major ([B, N, ...])."""
+
+    parent: jax.Array  # int32[B, N], -1 for root
+    children_base: jax.Array  # int32[B, N], -1 = unexpanded
+    visits: jax.Array  # int32[B, N]
+    value_sum: jax.Array  # float32[B, N]
+    prior: jax.Array  # float32[B, N, 7] — node's own masked prior
+    evaluated: jax.Array  # bool[B, N]
+    terminal: jax.Array  # bool[B, N]
+    tval: jax.Array  # float32[B, N] — terminal absolute value
+    next_free: jax.Array  # int32[B]
+
+
+class SearchResults(NamedTuple):
+    move: jax.Array  # int32[B] — chosen move
+    value: jax.Array  # float32[B] — absolute value of the chosen child
+    values_policy: jax.Array  # float32[B, 7] — normalised child values (training target)
+    visit_policy: jax.Array  # float32[B, 7] — normalised child visit counts
+    root_value: jax.Array  # float32[B] — root mean search value
+    tree: TreeArrays
+
+
+def _empty_tree(batch: int, capacity: int) -> TreeArrays:
+    return TreeArrays(
+        parent=jnp.full((batch, capacity), -1, jnp.int32),
+        children_base=jnp.full((batch, capacity), -1, jnp.int32),
+        visits=jnp.zeros((batch, capacity), jnp.int32),
+        value_sum=jnp.zeros((batch, capacity), jnp.float32),
+        prior=jnp.zeros((batch, capacity, WIDTH), jnp.float32),
+        evaluated=jnp.zeros((batch, capacity), jnp.bool_),
+        terminal=jnp.zeros((batch, capacity), jnp.bool_),
+        tval=jnp.zeros((batch, capacity), jnp.float32),
+        next_free=jnp.ones((batch,), jnp.int32),  # slot 0 is the root
+    )
+
+
+def _mask_normalise(prior: jax.Array, valid: jax.Array) -> jax.Array:
+    """Zero illegal moves and renormalise (``mcts.py:197-203``); uniform
+    over legal moves if the masked mass vanishes (guards finished games in
+    lockstep batches — unreachable for live searches)."""
+    masked = jnp.where(valid, prior, 0.0)
+    total = masked.sum(axis=-1, keepdims=True)
+    n_valid = jnp.maximum(valid.sum(axis=-1, keepdims=True), 1)
+    uniform = valid.astype(jnp.float32) / n_valid
+    return jnp.where(total > 0, masked / jnp.where(total > 0, total, 1.0), uniform)
+
+
+def _take_node(arr: jax.Array, idx: jax.Array) -> jax.Array:
+    """arr[B, N, ...] gathered at per-game node index idx[B] -> [B, ...]."""
+    return jnp.take_along_axis(
+        arr, idx.reshape(idx.shape + (1,) * (arr.ndim - 1)), axis=1
+    ).squeeze(1)
+
+
+def _take_children(arr: jax.Array, base: jax.Array) -> jax.Array:
+    """arr[B, N] gathered at the 7-slot block starting at base[B] -> [B, 7]."""
+    idx = base[:, None] + jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
+    return jnp.take_along_axis(arr, jnp.clip(idx, 0, arr.shape[1] - 1), axis=1)
+
+
+def _value_to_side(abs_value: jax.Array, side: jax.Array) -> jax.Array:
+    return jnp.where(side == 0, abs_value, 1.0 - abs_value)
+
+
+def _child_scores(
+    tree: TreeArrays,
+    node: jax.Array,
+    board: BoardState,
+    config: MCTSConfig,
+) -> jax.Array:
+    """PUCT scores for all 7 child slots of ``node``; -inf on illegal moves.
+
+    Mirrors ``ucb_score`` (``/root/reference/oinkoink/mcts.py:147-161``) in
+    float32 with the same operation order as the host oracle.
+    """
+    base = _take_node(tree.children_base, node)  # [B]
+    side = (board.age % 2).astype(jnp.int32)
+
+    parent_visits = _take_node(tree.visits, node).astype(jnp.float32)
+    log_term = jnp.log(
+        (parent_visits + jnp.float32(config.pb_c_base) + 1.0)
+        / jnp.float32(config.pb_c_base)
+    )
+    pb_c0 = (log_term + jnp.float32(config.pb_c_init)) * jnp.sqrt(parent_visits)
+
+    c_visits = _take_children(tree.visits, base)  # [B, 7]
+    c_vsum = _take_children(tree.value_sum, base)
+    c_term = _take_children(tree.terminal, base)
+    c_tval = _take_children(tree.tval, base)
+
+    mean = c_vsum / jnp.maximum(c_visits, 1).astype(jnp.float32)
+    abs_val = jnp.where(c_term, c_tval, jnp.where(c_visits > 0, mean, 0.0))
+    known = c_term | (c_visits > 0)
+    value_score = jnp.where(
+        known, _value_to_side(abs_val, side[:, None]), 0.0
+    )
+
+    pb_c = pb_c0[:, None] / (c_visits.astype(jnp.float32) + 1.0)
+    prior_row = _take_node(tree.prior, node)  # [B, 7]
+    scores = pb_c * prior_row + value_score
+
+    valid = legal_moves(board)
+    return jnp.where(valid, scores, NEG_INF)
+
+
+def _argmax_prefer_large(scores: jax.Array) -> jax.Array:
+    """Argmax over the move axis breaking ties toward the larger index,
+    matching the reference's ``max((score, child))`` with ``Node.__gt__``
+    by name (``/root/reference/oinkoink/tree.py:10-15``)."""
+    flipped = scores[..., ::-1]
+    return jnp.int32(WIDTH - 1) - jnp.argmax(flipped, axis=-1).astype(jnp.int32)
+
+
+def _scatter_node(arr: jax.Array, idx: jax.Array, values: jax.Array, active: jax.Array) -> jax.Array:
+    """arr[B, N, ...].at[b, idx[b]] <- values[b] where active[b]."""
+    capacity = arr.shape[1]
+    safe_idx = jnp.where(active, idx, capacity)  # OOB rows dropped
+    rows = jnp.arange(arr.shape[0])
+    return arr.at[rows, safe_idx].set(values, mode="drop")
+
+
+def _expand_metadata(board: BoardState) -> Tuple[jax.Array, jax.Array]:
+    """For each of the 7 moves from ``board``: (is_terminal[B,7], tval[B,7]).
+
+    The vectorised analogue of the reference expanding one ply and calling
+    ``make_move`` per child (``tree.py:119-132``): child results are known
+    at creation time, which is what lets fresh terminal children be
+    selected by value immediately.
+    """
+    terms, tvals = [], []
+    for m in range(WIDTH):
+        child = step(board, jnp.full(board.age.shape, m, jnp.int32))
+        terms.append(child.result != ONGOING)
+        tvals.append(result_value(child.result))
+    return jnp.stack(terms, axis=-1), jnp.stack(tvals, axis=-1)
+
+
+def search(
+    eval_fn: BatchedEvaluator,
+    root_state: BoardState,
+    key: jax.Array,
+    config: MCTSConfig,
+    active: Optional[jax.Array] = None,
+) -> SearchResults:
+    """Run ``config.simulations`` PUCT simulations for every game in the
+    batch and return chosen moves plus training targets.
+
+    ``active`` masks games (finished games in lockstep self-play): inactive
+    games' tree updates are suppressed and their outputs are defined but
+    meaningless (callers must mask).
+
+    Equivalent end-to-end to ``search`` + ``MCTS.make_move``
+    (``/root/reference/oinkoink/mcts.py:78-121``).
+    """
+    batch = root_state.age.shape[0]
+    capacity = config.tree_capacity()
+    if active is None:
+        active = jnp.ones((batch,), jnp.bool_)
+
+    tree = _empty_tree(batch, capacity)
+
+    # --- root evaluation + Dirichlet noise (once, pre-loop) ---------------
+    root_value, root_prior_raw = eval_fn(root_state)
+    root_valid = legal_moves(root_state)
+    root_prior = _mask_normalise(root_prior_raw, root_valid)
+
+    noise_key, sample_key = jax.random.split(key)
+    if config.root_dirichlet_alpha and config.root_exploration_fraction:
+        noise = jax.random.gamma(
+            noise_key, jnp.float32(config.root_dirichlet_alpha), (batch, WIDTH)
+        )
+        noise = _mask_normalise(noise, root_valid)
+        frac = jnp.float32(config.root_exploration_fraction)
+        root_prior = root_prior * (1.0 - frac) + noise * frac
+
+    tree = tree._replace(
+        prior=tree.prior.at[:, 0, :].set(root_prior),
+        evaluated=tree.evaluated.at[:, 0].set(True),
+        visits=tree.visits.at[:, 0].set(1),
+        value_sum=tree.value_sum.at[:, 0].set(root_value.astype(jnp.float32)),
+    )
+
+    rows = jnp.arange(batch)
+
+    def simulate(_, tree: TreeArrays) -> TreeArrays:
+        # --- phase 1: descend to a childless node -------------------------
+        def desc_cond(carry):
+            _, _, descending = carry
+            return jnp.any(descending)
+
+        def desc_body(carry):
+            node, board, descending = carry
+            scores = _child_scores(tree_loop, node, board, config)
+            move = _argmax_prefer_large(scores)
+            base = _take_node(tree_loop.children_base, node)
+            child = base + move
+            board = step(board, move, enabled=descending)
+            node = jnp.where(descending, child, node)
+            has_kids = _take_node(tree_loop.children_base, node) >= 0
+            return node, board, descending & has_kids
+
+        tree_loop = tree  # static arrays during descent (only stats mutate later)
+        node0 = jnp.zeros((batch,), jnp.int32)
+        descending0 = active & (_take_node(tree.children_base, node0) >= 0)
+        leaf, leaf_board, _ = jax.lax.while_loop(
+            desc_cond, desc_body, (node0, root_state, descending0)
+        )
+
+        # --- phase 2: expand evaluated non-terminal leaves ----------------
+        leaf_eval = _take_node(tree.evaluated, leaf)
+        leaf_term = _take_node(tree.terminal, leaf)
+        need_expand = active & leaf_eval & ~leaf_term
+
+        base = jnp.minimum(tree.next_free, capacity - WIDTH)
+        new_children_base = _scatter_node(
+            tree.children_base, leaf, base, need_expand
+        )
+        next_free = jnp.where(
+            need_expand, jnp.minimum(tree.next_free + WIDTH, capacity), tree.next_free
+        )
+
+        child_term, child_tval = _expand_metadata(leaf_board)
+        slot_idx = base[:, None] + jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
+        safe_slots = jnp.where(need_expand[:, None], slot_idx, capacity)
+        parent = tree.parent.at[rows[:, None], safe_slots].set(
+            leaf[:, None], mode="drop"
+        )
+        terminal = tree.terminal.at[rows[:, None], safe_slots].set(
+            child_term, mode="drop"
+        )
+        tval = tree.tval.at[rows[:, None], safe_slots].set(child_tval, mode="drop")
+        # freshly (re)allocated slots must be clean even when a capacity
+        # clamp reuses a block
+        visits = tree.visits.at[rows[:, None], safe_slots].set(0, mode="drop")
+        value_sum = tree.value_sum.at[rows[:, None], safe_slots].set(0.0, mode="drop")
+        evaluated = tree.evaluated.at[rows[:, None], safe_slots].set(
+            False, mode="drop"
+        )
+        children_base2 = new_children_base.at[rows[:, None], safe_slots].set(
+            -1, mode="drop"
+        )
+
+        tree2 = TreeArrays(
+            parent=parent,
+            children_base=children_base2,
+            visits=visits,
+            value_sum=value_sum,
+            prior=tree.prior,
+            evaluated=evaluated,
+            terminal=terminal,
+            tval=tval,
+            next_free=next_free,
+        )
+
+        # select one fresh child where we expanded
+        scores = _child_scores(tree2, leaf, leaf_board, config)
+        move2 = _argmax_prefer_large(scores)
+        stepped = step(leaf_board, move2, enabled=need_expand)
+        cur = jnp.where(need_expand, base + move2, leaf)
+        cur_board = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                need_expand.reshape((batch,) + (1,) * (new.ndim - 1)), new, old
+            ),
+            stepped,
+            leaf_board,
+        )
+
+        # --- phase 3: evaluate the leaf -----------------------------------
+        cur_term = _take_node(tree2.terminal, cur)
+        value_net, prior_net = eval_fn(cur_board)
+        cur_tval = _take_node(tree2.tval, cur)
+        value = jnp.where(cur_term, cur_tval, value_net.astype(jnp.float32))
+
+        cur_valid = legal_moves(cur_board)
+        prior_masked = _mask_normalise(prior_net, cur_valid)
+        store_prior = active & ~cur_term & ~_take_node(tree2.evaluated, cur)
+        prior_arr = _scatter_node(tree2.prior, cur, prior_masked, store_prior)
+        evaluated2 = _scatter_node(
+            tree2.evaluated, cur, jnp.ones((batch,), jnp.bool_), store_prior
+        )
+
+        # --- phase 4: backup along parent pointers ------------------------
+        def bp_cond(carry):
+            _, _, alive, _ = carry
+            return jnp.any(alive)
+
+        def bp_body(carry):
+            idx, vs, alive, vis = carry
+            safe = jnp.where(alive, idx, capacity)
+            vis = vis.at[rows, safe].add(1, mode="drop")
+            vs = vs.at[rows, safe].add(value, mode="drop")
+            nxt = _take_node(tree2.parent, jnp.maximum(idx, 0))
+            idx = jnp.where(alive, nxt, idx)
+            return idx, vs, alive & (idx >= 0), vis
+
+        _, value_sum2, _, visits2 = jax.lax.while_loop(
+            bp_cond, bp_body, (cur, tree2.value_sum, active, tree2.visits)
+        )
+
+        return tree2._replace(
+            visits=visits2,
+            value_sum=value_sum2,
+            prior=prior_arr,
+            evaluated=evaluated2,
+        )
+
+    tree = jax.lax.fori_loop(0, config.simulations, simulate, tree)
+
+    return _finish(tree, root_state, sample_key, config, root_valid)
+
+
+def _finish(
+    tree: TreeArrays,
+    root_state: BoardState,
+    key: jax.Array,
+    config: MCTSConfig,
+    root_valid: jax.Array,
+) -> SearchResults:
+    """Move selection + training targets from the finished tree, matching
+    ``MCTS.make_move`` and ``Tree.get_values_policy``
+    (``/root/reference/oinkoink/mcts.py:78-88``, ``tree.py:69-117``)."""
+    batch = root_state.age.shape[0]
+    base = tree.children_base[:, 0]
+    side = (root_state.age % 2).astype(jnp.int32)
+
+    c_visits = _take_children(tree.visits, base)
+    c_vsum = _take_children(tree.value_sum, base)
+    c_term = _take_children(tree.terminal, base)
+    c_tval = _take_children(tree.tval, base)
+
+    mean = c_vsum / jnp.maximum(c_visits, 1).astype(jnp.float32)
+    abs_val = jnp.where(c_term, c_tval, jnp.where(c_visits > 0, mean, 0.0))
+    known = c_term | (c_visits > 0)
+    side_val = jnp.where(known, _value_to_side(abs_val, side[:, None]), 0.0)
+    side_val = jnp.where(root_valid, side_val, 0.0)
+
+    # values-policy target with uniform fallback over the existing children
+    total = side_val.sum(axis=-1, keepdims=True)
+    n_valid = jnp.maximum(root_valid.sum(axis=-1, keepdims=True), 1)
+    uniform = root_valid.astype(jnp.float32) / n_valid
+    values_policy = jnp.where(total > 0, side_val / jnp.where(total > 0, total, 1.0), uniform)
+
+    visit_total = jnp.maximum((c_visits * root_valid).sum(axis=-1, keepdims=True), 1)
+    visit_policy = (c_visits * root_valid).astype(jnp.float32) / visit_total
+
+    greedy = _argmax_prefer_large(jnp.where(root_valid, side_val, NEG_INF))
+
+    # opening-ply sampling proportional to value^2; fall back to uniform
+    # over legal moves if every child value is exactly zero (the reference
+    # would divide by zero here)
+    weights = jnp.where(root_valid, side_val**2, 0.0)
+    wsum = weights.sum(axis=-1, keepdims=True)
+    probs = jnp.where(wsum > 0, weights / jnp.where(wsum > 0, wsum, 1.0), uniform)
+    gumbel_free = jax.random.categorical(key, jnp.log(jnp.where(probs > 0, probs, 1e-30)))
+    sampled = gumbel_free.astype(jnp.int32)
+
+    use_sampling = (root_state.age < config.num_sampling_moves) if config.num_sampling_moves else jnp.zeros((batch,), jnp.bool_)
+    move = jnp.where(use_sampling, sampled, greedy)
+
+    chosen_abs = jnp.take_along_axis(abs_val, move[:, None], axis=1)[:, 0]
+    root_mean = tree.value_sum[:, 0] / jnp.maximum(tree.visits[:, 0], 1).astype(
+        jnp.float32
+    )
+
+    return SearchResults(
+        move=move,
+        value=chosen_abs,
+        values_policy=values_policy,
+        visit_policy=visit_policy,
+        root_value=root_mean,
+        tree=tree,
+    )
+
+
+def make_search_fn(eval_fn: BatchedEvaluator, config: MCTSConfig):
+    """Close over evaluator+config; jit-friendly ``(state, key[, active])``."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(root_state: BoardState, key: jax.Array, active=None):
+        return search(eval_fn, root_state, key, config, active)
+
+    return run

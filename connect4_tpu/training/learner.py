@@ -1,0 +1,119 @@
+"""Training step: SGD + momentum + weight decay on MSE(value) + BCE(policy).
+
+Replaces the reference's ``ModelWrapper.train``
+(``/root/reference/oinkoink/neural/pytorch/model.py:200-240``) with a single
+jitted/pjit-able step over device-resident batches. The optimiser matches
+torch ``SGD(momentum, weight_decay)`` coupling (decay folded into the
+gradient *before* the momentum buffer) and the MultiStep LR schedule is
+applied per *generation* via ``ModelConfig.lr_at_generation``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from connect4_tpu.config import ModelConfig
+from connect4_tpu.models.net import Connect4Net
+
+
+class TrainState(NamedTuple):
+    """Everything the learner carries across steps (a pytree)."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(config: ModelConfig) -> optax.GradientTransformation:
+    # add_decayed_weights before sgd reproduces torch's coupled weight decay
+    # (grad + wd * param entering the momentum buffer).
+    return optax.chain(
+        optax.add_decayed_weights(config.weight_decay),
+        optax.inject_hyperparams(optax.sgd)(
+            learning_rate=config.initial_lr, momentum=config.momentum
+        ),
+    )
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected LR in-place in the optimiser state pytree."""
+    hyper = opt_state[1].hyperparams
+    hyper["learning_rate"] = jnp.asarray(lr, dtype=hyper["learning_rate"].dtype)
+    return opt_state
+
+
+def bce_loss(probs: jax.Array, targets: jax.Array) -> jax.Array:
+    """Elementwise binary cross-entropy on probabilities, mean-reduced over
+    all elements — torch ``BCELoss`` semantics including the -100 log clamp
+    (matches the reference loss at
+    ``/root/reference/oinkoink/neural/pytorch/model.py:166,284-292``)."""
+    log_p = jnp.clip(jnp.log(probs), -100.0, None)
+    log_1p = jnp.clip(jnp.log1p(-probs), -100.0, None)
+    return -jnp.mean(targets * log_p + (1.0 - targets) * log_1p)
+
+
+def loss_fn(
+    net: Connect4Net,
+    params,
+    batch_stats,
+    planes_nhwc: jax.Array,
+    value_targets: jax.Array,
+    prior_targets: jax.Array,
+    train: bool,
+):
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        (value, prior), mutated = net.apply(
+            variables, planes_nhwc, train=True, mutable=["batch_stats"]
+        )
+        new_stats = mutated["batch_stats"]
+    else:
+        value, prior = net.apply(variables, planes_nhwc, train=False)
+        new_stats = batch_stats
+    value_loss = jnp.mean((value - value_targets) ** 2)
+    prior_loss = bce_loss(prior, prior_targets)
+    return value_loss + prior_loss, (value_loss, prior_loss, value, prior, new_stats)
+
+
+def make_train_step(net: Connect4Net, optimizer: optax.GradientTransformation):
+    """Returns a jittable ``(state, planes, values, priors) -> (state, metrics)``."""
+
+    def train_step(
+        state: TrainState,
+        planes_nhwc: jax.Array,
+        value_targets: jax.Array,
+        prior_targets: jax.Array,
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        def wrapped(params):
+            return loss_fn(
+                net, params, state.batch_stats, planes_nhwc, value_targets,
+                prior_targets, train=True,
+            )
+
+        (total, (v_loss, p_loss, _, _, new_stats)), grads = jax.value_and_grad(
+            wrapped, has_aux=True
+        )(state.params)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": total, "value_loss": v_loss, "prior_loss": p_loss}
+        return TrainState(new_params, new_stats, new_opt_state), metrics
+
+    return train_step
+
+
+def make_eval_fn(net: Connect4Net):
+    """Inference forward: ``(params, batch_stats, planes_nhwc) -> (value, prior)``
+    with running BN statistics (the reference's ``net.eval()`` mode)."""
+
+    def forward(params, batch_stats, planes_nhwc):
+        return net.apply(
+            {"params": params, "batch_stats": batch_stats}, planes_nhwc, train=False
+        )
+
+    return forward
