@@ -1,0 +1,282 @@
+"""Training orchestrator.
+
+The L5 equivalent of the reference ``TrainingLoop``
+(``/root/reference/oinkoink/neural/training.py:23-223``): per generation,
+generate self-play games, train on the replay window, evaluate on the
+8/7-ply benchmark sets, and run a gating match every ``n_eval``
+generations (vs the centre heuristic for gen <= 10, else vs the net from
+10 generations earlier). Host Python only orchestrates; every hot path is
+a jitted device program.
+
+Differences by design (TPU-first):
+- Self-play is waves of ``selfplay_batch`` lockstep games, not a process
+  pool; the inference server does not exist.
+- Checkpoints are Orbax (params + BN stats + optimiser + PRNG key).
+- Metrics go to pandas pickles with the reference's filenames
+  (``8ply.pkl``, ``7ply.pkl``, ``match_results.pkl``) for tooling parity.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+
+from connect4_tpu.config import AlphaZeroConfig, MCTSConfig
+from connect4_tpu.env.core import result_value
+from connect4_tpu.eval.evaluators import (
+    centre_evaluator_batched,
+    make_net_evaluator,
+)
+from connect4_tpu.eval.match import MatchPlayer, play_match
+from connect4_tpu.models import init_net
+from connect4_tpu.training import checkpoint as ckpt
+from connect4_tpu.training import replay
+from connect4_tpu.training.learner import (
+    TrainState,
+    make_eval_fn,
+    make_optimizer,
+    make_train_step,
+    set_learning_rate,
+)
+from connect4_tpu.training.self_play import make_play_fn
+from connect4_tpu.training.stats import CombinedStats, ValueStats
+from connect4_tpu.types import DRAW, O_WIN, X_WIN
+
+
+class TrainingLoop:
+    def __init__(self, config: AlphaZeroConfig):
+        self.config = config
+        self.save_dir = config.storage_config.save_dir
+        self.data_dir = config.storage_config.data_dir
+        os.makedirs(self.save_dir, exist_ok=True)
+
+        self.net, variables = init_net(
+            config.model_config.net_config, jax.random.key(config.seed)
+        )
+        self.optimizer = make_optimizer(config.model_config)
+        self.state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.optimizer.init(variables["params"]),
+        )
+        self.key = jax.random.key(config.seed + 1)
+
+        latest = ckpt.latest_generation(self.save_dir)
+        if latest is not None:
+            print(f"Resuming from generation {latest}")
+            self.state, self.key = ckpt.restore_checkpoint(
+                self.save_dir, latest, self.state, self.key
+            )
+            self.gen = latest + 1
+        else:
+            self.gen = 1
+
+        self.train_step = jax.jit(make_train_step(self.net, self.optimizer))
+        self.forward = jax.jit(make_eval_fn(self.net))
+
+        self.stats_8ply = self._load_pickle("8ply.pkl")
+        self.stats_7ply = self._load_pickle("7ply.pkl")
+        self.match_results = self._load_pickle("match_results.pkl")
+
+    # -- public ------------------------------------------------------------
+
+    def run(self, generations: Optional[int] = None) -> None:
+        """Run ``generations`` iterations (forever when None, like the
+        reference's ``while True`` loop, ``training.py:78-85``)."""
+        end = None if generations is None else self.gen + generations
+        while end is None or self.gen < end:
+            print("Loop: ", self.gen)
+            self._loop()
+            self._evaluate()
+            if self.gen % self.config.n_eval == 0:
+                self._match()
+            self.gen += 1
+
+    # -- internals ---------------------------------------------------------
+
+    def _load_pickle(self, name: str) -> pd.DataFrame:
+        path = os.path.join(self.save_dir, name)
+        if os.path.exists(path):
+            return pd.read_pickle(path)
+        return pd.DataFrame()
+
+    def _loop(self) -> None:
+        start_t = time.time()
+        print("Time now: {}".format(time.asctime(time.localtime(start_t))))
+        self._generate_games()
+        train_t = time.time()
+        self._train()
+        end_t = time.time()
+        print(
+            "Generate games: {:.0f}s  training: {:.0f}s".format(
+                train_t - start_t, end_t - train_t
+            )
+        )
+
+    def _evaluator(self):
+        return make_net_evaluator(self.net, self.state.params, self.state.batch_stats)
+
+    def _generate_games(self) -> None:
+        cfg = self.config.search_config(training=True)
+        batch = min(self.config.selfplay_batch, self.config.n_training_games)
+        play = make_play_fn(self._evaluator(), cfg, batch)
+
+        outputs = []
+        games_done = 0
+        while games_done < self.config.n_training_games:
+            self.key, sub = jax.random.split(self.key)
+            out = jax.tree_util.tree_map(np.asarray, play(sub))
+            outputs.append(out)
+            games_done += batch
+
+        n_positions = replay.append_generation(self.save_dir, self.gen, outputs)
+
+        results = np.concatenate([o.result for o in outputs])
+        print(
+            "Player one: wins, draws, losses:  {}, {}, {}".format(
+                int((results == O_WIN).sum()),
+                int((results == DRAW).sum()),
+                int((results == X_WIN).sum()),
+            )
+        )
+        print("{} positions created for training".format(n_positions))
+
+    def _train(self) -> None:
+        planes, values, policies = replay.load_window(self.save_dir, self.gen)
+        mc = self.config.model_config
+
+        lr = mc.lr_at_generation(self.gen)
+        self.state = self.state._replace(
+            opt_state=set_learning_rate(self.state.opt_state, lr)
+        )
+
+        n = len(values)
+        batch_size = min(mc.batch_size, n)
+        # NHWC device-resident epoch arrays
+        planes_d = jnp.asarray(np.moveaxis(planes, 1, -1), dtype=jnp.float32)
+        values_d = jnp.asarray(values)
+        policies_d = jnp.asarray(policies)
+
+        for _ in range(mc.n_training_epochs):
+            self.key, perm_key = jax.random.split(self.key)
+            order = jax.random.permutation(perm_key, n)
+            for i in range(0, n - batch_size + 1, batch_size):
+                idx = order[i : i + batch_size]
+                self.state, metrics = self.train_step(
+                    self.state,
+                    jnp.take(planes_d, idx, axis=0),
+                    jnp.take(values_d, idx, axis=0),
+                    jnp.take(policies_d, idx, axis=0),
+                )
+        ckpt.save_checkpoint(self.save_dir, self.gen, self.state, self.key)
+
+    def _benchmark_path(self, name: str) -> Optional[str]:
+        path = os.path.join(self.data_dir, name)
+        return path if os.path.exists(path) else None
+
+    def _evaluate(self) -> None:
+        """8-ply value and 7-ply value+policy benchmarks
+        (``training.py:155-174``); skipped gracefully when the benchmark
+        files have not been generated yet."""
+        from connect4_tpu.training.learner import bce_loss
+
+        path8 = self._benchmark_path("connect4dataset_8ply.npz")
+        if path8:
+            with np.load(path8) as d:
+                stats = ValueStats()
+                for planes, vals in _batches(d["planes"], d["values"], 4096):
+                    value, _ = self.forward(
+                        self.state.params,
+                        self.state.batch_stats,
+                        jnp.asarray(np.moveaxis(planes, 1, -1), dtype=jnp.float32),
+                    )
+                    value = np.asarray(value)
+                    stats.update(value, vals, float(np.mean((value - vals) ** 2)))
+            print("8 Ply Test Stats:  ", stats)
+            self.stats_8ply = pd.concat(
+                [self.stats_8ply, pd.DataFrame([stats.to_dict()])],
+                ignore_index=True,
+            )
+            self.stats_8ply.to_pickle(os.path.join(self.save_dir, "8ply.pkl"))
+
+        path7 = self._benchmark_path("connect4dataset_7ply.npz")
+        if path7:
+            with np.load(path7) as d:
+                stats = CombinedStats()
+                for planes, vals, priors in _batches(
+                    d["planes"], d["values"], 4096, d["policies"]
+                ):
+                    value, prior = self.forward(
+                        self.state.params,
+                        self.state.batch_stats,
+                        jnp.asarray(np.moveaxis(planes, 1, -1), dtype=jnp.float32),
+                    )
+                    value, prior = np.asarray(value), np.asarray(prior)
+                    stats.update(
+                        value, vals, float(np.mean((value - vals) ** 2)),
+                        prior, priors, float(bce_loss(jnp.asarray(prior), jnp.asarray(priors))),
+                    )
+            print("7 Ply Test Stats:  ", stats)
+            self.stats_7ply = pd.concat(
+                [self.stats_7ply, pd.DataFrame([stats.to_dict()])],
+                ignore_index=True,
+            )
+            self.stats_7ply.to_pickle(os.path.join(self.save_dir, "7ply.pkl"))
+
+    def _match(self) -> None:
+        """Gating match (``training.py:176-207``): vs the centre heuristic
+        until gen 10, then vs the checkpoint from 10 generations ago."""
+        az = MatchPlayer(
+            "AlphaZero",
+            self._evaluator(),
+            self.config.search_config(training=False),
+        )
+        opponent_cfg = MCTSConfig(
+            simulations=self.config.simulations, max_nodes=self.config.max_nodes
+        )
+        if self.gen <= 10:
+            opponent = MatchPlayer(
+                "Evaluate_centre_with_prior", centre_evaluator_batched, opponent_cfg
+            )
+        else:
+            old_gen = self.gen - 10
+            _, variables = init_net(
+                self.config.model_config.net_config, jax.random.key(0)
+            )
+            old_state = TrainState(
+                variables["params"], variables["batch_stats"],
+                self.optimizer.init(variables["params"]),
+            )
+            old_state, _ = ckpt.restore_checkpoint(
+                self.save_dir, old_gen, old_state, jax.random.key(0)
+            )
+            opponent = MatchPlayer(
+                "Older net",
+                make_net_evaluator(self.net, old_state.params, old_state.batch_stats),
+                opponent_cfg,
+            )
+
+        results = play_match(az, opponent, plies=1, switch=True, seed=self.gen)
+        self.match_results = pd.concat(
+            [self.match_results, pd.DataFrame([results])], ignore_index=True
+        )
+        self.match_results.to_pickle(
+            os.path.join(self.save_dir, "match_results.pkl")
+        )
+
+
+def _batches(planes, values, batch_size, policies=None):
+    n = len(values)
+    for i in range(0, n, batch_size):
+        sl = slice(i, min(i + batch_size, n))
+        if policies is None:
+            yield planes[sl], values[sl]
+        else:
+            yield planes[sl], values[sl], policies[sl]

@@ -1,0 +1,139 @@
+"""On-device self-play generation.
+
+Replaces the reference's L4 runtime — 10 processes x 20 threads of Python
+MCTS blocking on a pipe-RPC inference server
+(``/root/reference/oinkoink/neural/training_game.py:8-19``,
+``game_pool.py``, ``inference_server.py``) — with a single jitted program:
+``lax.scan`` over at most 42 plies, each ply running one batched MCTS for
+every live game and stepping them in lockstep. Finished games are masked
+and simply ride along; there is no cross-process communication at all.
+
+Per recorded move we keep what ``GameData.add_move`` keeps (pre-move
+planes, chosen move, the chosen child's value, and the values-policy
+target); the value *training target* is the final game result for every
+position, exactly as ``create_training_values``
+(``training_game.py:57-60``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from connect4_tpu.config import MCTSConfig
+from connect4_tpu.env.core import (
+    BoardState,
+    initial_state,
+    result_value,
+    step,
+    to_planes,
+)
+from connect4_tpu.eval.evaluators import BatchedEvaluator
+from connect4_tpu.mcts.batched import search
+from connect4_tpu.types import AREA, HEIGHT, ONGOING, WIDTH
+
+
+class SelfPlayOutput(NamedTuple):
+    """Per-game records, batch-major. ``mask[b, t]`` marks plies actually
+    played; slots past the end of a game are zero-filled."""
+
+    planes: jax.Array  # uint8[B, 42, 3, 6, 7] — pre-move board planes
+    moves: jax.Array  # int32[B, 42]
+    move_values: jax.Array  # float32[B, 42] — chosen child's absolute value
+    policies: jax.Array  # float32[B, 42, 7] — values-policy targets
+    mask: jax.Array  # bool[B, 42]
+    result: jax.Array  # int8[B] — final result code
+    length: jax.Array  # int32[B]
+
+
+def play_games(
+    eval_fn: BatchedEvaluator,
+    config: MCTSConfig,
+    batch: int,
+    key: jax.Array,
+) -> SelfPlayOutput:
+    """Play ``batch`` complete games in lockstep. Jit-compatible."""
+
+    def ply(carry, _):
+        state, key = carry
+        key, search_key = jax.random.split(key)
+        active = state.result == ONGOING
+        res = search(eval_fn, state, search_key, config, active)
+        record = (
+            to_planes(state, dtype=jnp.uint8),
+            res.move,
+            res.value,
+            res.values_policy,
+            active,
+        )
+        state = step(state, res.move, active)
+        return (state, key), record
+
+    init = (initial_state((batch,)), key)
+    (final_state, _), (planes, moves, values, policies, mask) = jax.lax.scan(
+        ply, init, None, length=AREA
+    )
+
+    # scan stacks time-major; transpose to batch-major once
+    planes = jnp.moveaxis(planes, 0, 1)
+    moves = jnp.moveaxis(moves, 0, 1)
+    values = jnp.moveaxis(values, 0, 1)
+    policies = jnp.moveaxis(policies, 0, 1)
+    mask = jnp.moveaxis(mask, 0, 1)
+
+    zero = lambda x: jnp.where(
+        mask.reshape(mask.shape + (1,) * (x.ndim - 2)), x, jnp.zeros_like(x)
+    )
+    return SelfPlayOutput(
+        planes=zero(planes),
+        moves=jnp.where(mask, moves, 0),
+        move_values=jnp.where(mask, values, 0.0),
+        policies=zero(policies),
+        mask=mask,
+        result=final_state.result,
+        length=mask.sum(axis=1).astype(jnp.int32),
+    )
+
+
+def make_play_fn(eval_fn: BatchedEvaluator, config: MCTSConfig, batch: int):
+    """Jitted closure ``key -> SelfPlayOutput``."""
+
+    def run(key: jax.Array) -> SelfPlayOutput:
+        return play_games(eval_fn, config, batch, key)
+
+    return jax.jit(run)
+
+
+def training_arrays(
+    output: SelfPlayOutput,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten a generation into (planes, value_targets, policy_targets)
+    with left-right mirror augmentation doubling the data — host-side
+    equivalent of ``TrainingDataStorage.save`` + ``native_to_pytorch``
+    (``/root/reference/oinkoink/neural/pytorch/data.py:52-64,78-105``).
+
+    Value target for every position of a game is that game's final result
+    (``training_game.py:57-60``).
+    """
+    mask = np.asarray(output.mask)
+    planes = np.asarray(output.planes)
+    policies = np.asarray(output.policies)
+    results = np.asarray(result_value(output.result))
+
+    b_idx, t_idx = np.nonzero(mask)
+    sel_planes = planes[b_idx, t_idx].astype(np.uint8)  # [M, 3, 6, 7]
+    sel_policies = policies[b_idx, t_idx].astype(np.float32)
+    sel_values = results[b_idx].astype(np.float32)
+
+    flipped_planes = sel_planes[:, :, :, ::-1]
+    flipped_policies = sel_policies[:, ::-1]
+
+    return (
+        np.concatenate([sel_planes, flipped_planes]),
+        np.concatenate([sel_values, sel_values]),
+        np.concatenate([sel_policies, flipped_policies]),
+    )
