@@ -1,0 +1,152 @@
+"""Headline benchmark: wall-clock for one full training generation.
+
+Runs the reference's default workload — 1200 self-play games x 800 MCTS
+simulations per move with the published example-net architecture
+(filters=64, fc=6, res=6), then 5 epochs of SGD on the generated data —
+entirely on-device, and compares against the reference's ~50 min/generation
+(``/root/reference/README.md:43``; BASELINE.md).
+
+Prints exactly one JSON line:
+  {"metric": "generation_wall_clock", "value": <seconds>, "unit": "s",
+   "vs_baseline": <reference_seconds / value>}
+
+Extra context lines go to stderr. Set BENCH_FAST=1 for a reduced workload
+(CI smoke), BENCH_GAMES/BENCH_SIMS to override.
+"""
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_GENERATION_SECONDS = 50 * 60  # README.md:43 — ~50 min/generation
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from connect4_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    fast = os.environ.get("BENCH_FAST") == "1"
+    n_games = int(os.environ.get("BENCH_GAMES", 128 if fast else 1200))
+    sims = int(os.environ.get("BENCH_SIMS", 64 if fast else 800))
+
+    from connect4_tpu.config import MCTSConfig, ModelConfig, NetConfig
+    from connect4_tpu.eval.evaluators import make_net_evaluator
+    from connect4_tpu.models import init_net
+    from connect4_tpu.training.learner import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+        set_learning_rate,
+    )
+    from connect4_tpu.training.self_play import make_play_fn, training_arrays
+
+    log(f"devices: {jax.devices()}")
+    log(f"workload: {n_games} games x {sims} sims")
+
+    net_config = NetConfig(
+        filters=64, n_fc_layers=6, n_residuals=6, compute_dtype="bfloat16"
+    )
+    model_config = ModelConfig(net_config=net_config)
+    net, variables = init_net(net_config, jax.random.key(0))
+    optimizer = make_optimizer(model_config)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=set_learning_rate(
+            optimizer.init(variables["params"]), model_config.initial_lr
+        ),
+    )
+
+    search_config = MCTSConfig(
+        simulations=sims,
+        root_dirichlet_alpha=0.3,
+        root_exploration_fraction=0.25,
+        num_sampling_moves=6,
+    )
+    evaluator = make_net_evaluator(net, state.params, state.batch_stats)
+    play = make_play_fn(evaluator, search_config, n_games)
+    train_step = jax.jit(make_train_step(net, optimizer))
+
+    # compile both programs outside the timed region (one-time cost,
+    # persisted by the compilation cache across runs)
+    t0 = time.time()
+    warm = jax.block_until_ready(play(jax.random.key(99)))
+    log(f"self-play compile+first run: {time.time() - t0:.1f}s")
+    planes_w, values_w, policies_w = training_arrays(warm)
+    m = min(len(values_w), model_config.batch_size)
+    dummy = (
+        jnp.asarray(np.moveaxis(planes_w[:m], 1, -1), dtype=jnp.float32),
+        jnp.asarray(values_w[:m]),
+        jnp.asarray(policies_w[:m]),
+    )
+    t0 = time.time()
+    jax.block_until_ready(train_step(state, *dummy))
+    log(f"train-step compile+first run: {time.time() - t0:.1f}s")
+
+    # ---- timed generation --------------------------------------------------
+    t_gen = time.time()
+    out = jax.block_until_ready(play(jax.random.key(0)))
+    t_selfplay = time.time() - t_gen
+
+    planes, values, policies = training_arrays(out)
+    n = len(values)
+    planes_d = jnp.asarray(np.moveaxis(planes, 1, -1), dtype=jnp.float32)
+    values_d = jnp.asarray(values)
+    policies_d = jnp.asarray(policies)
+    batch_size = min(model_config.batch_size, n)
+    key = jax.random.key(1)
+    for _ in range(model_config.n_training_epochs):
+        key, perm_key = jax.random.split(key)
+        order = jax.random.permutation(perm_key, n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = order[i : i + batch_size]
+            state, metrics = train_step(
+                state,
+                jnp.take(planes_d, idx, axis=0),
+                jnp.take(values_d, idx, axis=0),
+                jnp.take(policies_d, idx, axis=0),
+            )
+    jax.block_until_ready(state)
+    t_total = time.time() - t_gen
+
+    moves_played = int(np.asarray(out.mask).sum())
+    sims_total = moves_played * sims
+    log(
+        f"self-play: {t_selfplay:.1f}s  training: {t_total - t_selfplay:.1f}s  "
+        f"moves: {moves_played}  positions: {n}"
+    )
+    log(
+        f"throughput: {moves_played / t_selfplay:,.0f} moves/s, "
+        f"{sims_total / t_selfplay:,.0f} sims/s"
+    )
+
+    # scale measured time to the reference workload if overridden
+    scale = (1200 * 800) / (n_games * sims)
+    effective = t_total * scale if scale != 1.0 else t_total
+    if scale != 1.0:
+        log(f"(scaled x{scale:.1f} to the 1200x800 reference workload)")
+
+    print(
+        json.dumps(
+            {
+                "metric": "generation_wall_clock",
+                "value": round(effective, 2),
+                "unit": "s",
+                "vs_baseline": round(REFERENCE_GENERATION_SECONDS / effective, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

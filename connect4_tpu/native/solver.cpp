@@ -1,0 +1,292 @@
+// Exact Connect4 solver (weak solve: win/draw/loss for the side to move).
+//
+// Native component of the connect4_tpu framework. The reference framework
+// depended on the UCI "connect-4" dataset for its 8-ply evaluation labels
+// (/root/reference/oinkoink/scripts/generate_8ply.py) and on lookups into
+// that table for the 7-ply policy labels (generate_7ply.py) — the dataset
+// files were stripped from the snapshot. This solver regenerates both from
+// first principles: alpha-beta proof search over {-1, 0, +1} outcomes with
+// a lock-free shared transposition table (8-byte atomic entries,
+// mirror-canonical keys), threat-aware pruning and centre-first move
+// ordering, parallelised over positions with std::thread. Standard Connect4
+// bitboard layout: one uint64 per side, 7 bits per column
+// (bit col*7 + row, row 0 = bottom, row 6 is a sentinel).
+//
+// Exposed as a C ABI for Python ctypes (see solver.py).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int WIDTH = 7;
+constexpr int HEIGHT = 6;
+constexpr int H1 = HEIGHT + 1;  // column stride (sentinel row on top)
+
+constexpr uint64_t column_mask(int col) {
+  return ((UINT64_C(1) << HEIGHT) - 1) << (col * H1);
+}
+
+constexpr uint64_t bottom_row() {
+  uint64_t b = 0;
+  for (int c = 0; c < WIDTH; ++c) b |= UINT64_C(1) << (c * H1);
+  return b;
+}
+
+constexpr uint64_t BOTTOM = bottom_row();
+constexpr uint64_t BOARD_MASK = BOTTOM * ((UINT64_C(1) << HEIGHT) - 1);
+
+inline uint64_t top_cell(int col) {
+  return UINT64_C(1) << ((HEIGHT - 1) + col * H1);
+}
+
+inline bool playable(uint64_t mask, int col) {
+  return (mask & top_cell(col)) == 0;
+}
+
+inline uint64_t play_cell(uint64_t mask, int col) {
+  // lowest empty cell of the column: (mask + bottom_bit) & column
+  return (mask + (UINT64_C(1) << (col * H1))) & column_mask(col);
+}
+
+inline uint64_t mirror_bits(uint64_t b) {
+  uint64_t r = 0;
+  for (int c = 0; c < WIDTH; ++c) {
+    r |= ((b >> (c * H1)) & UINT64_C(0x7F)) << ((WIDTH - 1 - c) * H1);
+  }
+  return r;
+}
+
+inline bool has_won(uint64_t pos) {
+  uint64_t m = pos & (pos >> H1);  // horizontal
+  if (m & (m >> (2 * H1))) return true;
+  m = pos & (pos >> HEIGHT);  // diagonal '\'
+  if (m & (m >> (2 * HEIGHT))) return true;
+  m = pos & (pos >> (H1 + 1));  // diagonal '/'
+  if (m & (m >> (2 * (H1 + 1)))) return true;
+  m = pos & (pos >> 1);  // vertical
+  return (m & (m >> 2)) != 0;
+}
+
+// All cells that would complete a four for `pos` (may include occupied or
+// sentinel cells; callers mask).
+uint64_t winning_cells(uint64_t pos) {
+  uint64_t r = (pos << 1) & (pos << 2) & (pos << 3);  // vertical
+
+  auto line = [&](int shift) {
+    uint64_t p = (pos << shift) & (pos << (2 * shift));
+    uint64_t acc = p & (pos << (3 * shift));  // XXX.
+    acc |= p & (pos >> shift);                // XX.X
+    p = (pos >> shift) & (pos >> (2 * shift));
+    acc |= p & (pos << shift);   // X.XX
+    acc |= p & (pos >> (3 * shift));  // .XXX
+    return acc;
+  };
+  r |= line(H1);      // horizontal
+  r |= line(HEIGHT);  // diagonal '\'
+  r |= line(H1 + 1);  // diagonal '/'
+  return r & BOARD_MASK;
+}
+
+// -- lock-free transposition table -----------------------------------------
+//
+// Entry packs (key:56 | value+1:2 | bound:2) into one atomic uint64. The
+// position code current+mask+BOTTOM fits in 50 bits, so 56 key bits are
+// exact. Races between threads are benign: entries are self-consistent
+// (single atomic word) and at worst overwrite each other.
+
+enum Bound : uint64_t { EXACT = 0, LOWER = 1, UPPER = 2 };
+
+struct TT {
+  std::vector<std::atomic<uint64_t>> table;
+  uint64_t index_mask;
+
+  explicit TT(size_t size_pow2) : table(size_pow2), index_mask(size_pow2 - 1) {}
+
+  static uint64_t pack(uint64_t key, int value, uint64_t bound) {
+    return (key & ((UINT64_C(1) << 56) - 1)) |
+           (static_cast<uint64_t>(value + 1) << 56) | (bound << 58) |
+           (UINT64_C(1) << 60);  // occupancy bit
+  }
+
+  void put(uint64_t key, int value, uint64_t bound) {
+    table[key & index_mask].store(pack(key, value, bound),
+                                  std::memory_order_relaxed);
+  }
+
+  bool get(uint64_t key, int* value, uint64_t* bound) const {
+    uint64_t e = table[key & index_mask].load(std::memory_order_relaxed);
+    if (!(e & (UINT64_C(1) << 60))) return false;
+    if ((e & ((UINT64_C(1) << 56) - 1)) != (key & ((UINT64_C(1) << 56) - 1)))
+      return false;
+    *value = static_cast<int>((e >> 56) & 3) - 1;
+    *bound = (e >> 58) & 3;
+    return true;
+  }
+};
+
+struct Worker {
+  TT* tt;
+  uint64_t nodes = 0;
+
+  // canonical (mirror-min) position code
+  static uint64_t code(uint64_t current, uint64_t mask) {
+    uint64_t k1 = current + mask + BOTTOM;
+    uint64_t k2 = mirror_bits(current) + mirror_bits(mask) + BOTTOM;
+    return k1 < k2 ? k1 : k2;
+  }
+
+  // Outcome for the side to move on (current, mask): 1 win, 0 draw, -1 loss.
+  int solve(uint64_t current, uint64_t mask, int alpha, int beta) {
+    ++nodes;
+    uint64_t opponent = mask ^ current;
+
+    uint64_t empties = BOARD_MASK & ~mask;
+    uint64_t my_wins = winning_cells(current) & empties;
+    uint64_t playable_cells = 0;
+    for (int c = 0; c < WIDTH; ++c) {
+      if (playable(mask, c)) playable_cells |= play_cell(mask, c);
+    }
+    if (my_wins & playable_cells) return 1;  // immediate win
+
+    if (!empties) return 0;  // board full: draw
+
+    uint64_t opp_wins = winning_cells(opponent) & empties;
+    uint64_t forced = opp_wins & playable_cells;
+    uint64_t candidates;
+    if (forced) {
+      if (forced & (forced - 1)) return -1;  // two immediate threats
+      candidates = forced;                   // must block
+    } else {
+      candidates = playable_cells;
+    }
+    candidates &= ~(opp_wins >> 1);  // never open a win for the opponent
+    if (!candidates) return -1;
+
+    uint64_t key = code(current, mask);
+    int cached;
+    uint64_t cbound;
+    if (tt->get(key, &cached, &cbound)) {
+      if (cbound == EXACT) return cached;
+      if (cbound == LOWER) {
+        if (cached >= beta) return cached;
+        if (cached > alpha) alpha = cached;
+      } else {
+        if (cached <= alpha) return cached;
+        if (cached < beta) beta = cached;
+      }
+      if (alpha >= beta) return cached;
+    }
+    const int alpha0 = alpha;
+
+    // move ordering: centre-out, then by threats created (stable sort)
+    static constexpr int kOrder[WIDTH] = {3, 2, 4, 1, 5, 0, 6};
+    int scores[WIDTH];
+    int cols[WIDTH];
+    int n = 0;
+    for (int i = 0; i < WIDTH; ++i) {
+      int c = kOrder[i];
+      if (!playable(mask, c)) continue;
+      uint64_t cell = play_cell(mask, c);
+      if (!(candidates & cell)) continue;
+      uint64_t next = current | cell;
+      scores[n] = __builtin_popcountll(winning_cells(next) & empties);
+      cols[n] = c;
+      ++n;
+    }
+    for (int i = 1; i < n; ++i) {
+      int s = scores[i], c = cols[i], j = i;
+      while (j > 0 && scores[j - 1] < s) {
+        scores[j] = scores[j - 1];
+        cols[j] = cols[j - 1];
+        --j;
+      }
+      scores[j] = s;
+      cols[j] = c;
+    }
+
+    int best = -1;
+    for (int i = 0; i < n; ++i) {
+      uint64_t cell = play_cell(mask, cols[i]);
+      int score = -solve(opponent, mask | cell, -beta, -alpha);
+      if (score > best) best = score;
+      if (best > alpha) alpha = best;
+      if (alpha >= beta) break;
+    }
+
+    uint64_t flag = best <= alpha0 ? UPPER : (best >= beta ? LOWER : EXACT);
+    tt->put(key, best, flag);
+    return best;
+  }
+};
+
+int solve_entry(TT* tt, uint64_t* nodes, uint64_t to_move_bits,
+                uint64_t other_bits) {
+  if (has_won(to_move_bits)) return 1;
+  if (has_won(other_bits)) return -1;
+  uint64_t mask = to_move_bits | other_bits;
+  if ((mask & BOARD_MASK) == BOARD_MASK) return 0;
+  Worker w{tt};
+  int r = w.solve(to_move_bits, mask, -1, 1);
+  if (nodes) *nodes += w.nodes;
+  return r;
+}
+
+struct SolverHandle {
+  TT tt;
+  uint64_t nodes = 0;
+  explicit SolverHandle(size_t n) : tt(n) {}
+};
+
+}  // namespace
+
+extern "C" {
+
+void* solver_create(uint64_t tt_size_pow2) {
+  return new SolverHandle(static_cast<size_t>(tt_size_pow2));
+}
+
+void solver_destroy(void* s) { delete static_cast<SolverHandle*>(s); }
+
+uint64_t solver_nodes(void* s) { return static_cast<SolverHandle*>(s)->nodes; }
+
+// Outcome for the side to move: 1 win, 0 draw, -1 loss.
+int solver_solve(void* sv, uint64_t to_move_bits, uint64_t other_bits) {
+  SolverHandle* s = static_cast<SolverHandle*>(sv);
+  return solve_entry(&s->tt, &s->nodes, to_move_bits, other_bits);
+}
+
+// Batch solve across `n_threads` workers sharing the table.
+void solver_solve_batch(void* sv, const uint64_t* to_move_bits,
+                        const uint64_t* other_bits, int64_t n, int8_t* out,
+                        int n_threads) {
+  SolverHandle* s = static_cast<SolverHandle*>(sv);
+  if (n_threads <= 1) {
+    for (int64_t i = 0; i < n; ++i) {
+      out[i] = static_cast<int8_t>(
+          solve_entry(&s->tt, &s->nodes, to_move_bits[i], other_bits[i]));
+    }
+    return;
+  }
+  std::atomic<int64_t> next{0};
+  std::atomic<uint64_t> total_nodes{0};
+  auto work = [&]() {
+    uint64_t local_nodes = 0;
+    for (;;) {
+      int64_t i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= n) break;
+      out[i] = static_cast<int8_t>(
+          solve_entry(&s->tt, &local_nodes, to_move_bits[i], other_bits[i]));
+    }
+    total_nodes.fetch_add(local_nodes, std::memory_order_relaxed);
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(work);
+  for (auto& th : threads) th.join();
+  s->nodes += total_nodes.load();
+}
+
+}  // extern "C"

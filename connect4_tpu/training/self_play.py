@@ -55,35 +55,51 @@ def play_games(
     config: MCTSConfig,
     batch: int,
     key: jax.Array,
+    init_state: BoardState = None,
 ) -> SelfPlayOutput:
-    """Play ``batch`` complete games in lockstep. Jit-compatible."""
+    """Play ``batch`` complete games in lockstep. Jit-compatible.
 
-    def ply(carry, _):
-        state, key = carry
+    ``init_state`` lets sharded callers pass a mesh-constrained starting
+    batch (see ``connect4_tpu.parallel.sharded``)."""
+
+    state0 = init_state if init_state is not None else initial_state((batch,))
+
+    # Preallocated batch-major output buffers written by ply index. A
+    # while_loop (rather than scan over all 42 plies) exits as soon as the
+    # whole batch has finished — typical games end well before ply 42, so
+    # this trims ~20-40% of the search work per generation.
+    buffers0 = (
+        jnp.zeros((batch, AREA, 3, HEIGHT, WIDTH), jnp.uint8),
+        jnp.zeros((batch, AREA), jnp.int32),
+        jnp.zeros((batch, AREA), jnp.float32),
+        jnp.zeros((batch, AREA, WIDTH), jnp.float32),
+        jnp.zeros((batch, AREA), jnp.bool_),
+    )
+
+    def cond(carry):
+        t, state, _, _ = carry
+        return (t < AREA) & jnp.any(state.result == ONGOING)
+
+    def ply(carry):
+        t, state, key, bufs = carry
         key, search_key = jax.random.split(key)
         active = state.result == ONGOING
         res = search(eval_fn, state, search_key, config, active)
-        record = (
-            to_planes(state, dtype=jnp.uint8),
-            res.move,
-            res.value,
-            res.values_policy,
-            active,
+        planes_b, moves_b, values_b, policies_b, mask_b = bufs
+        bufs = (
+            planes_b.at[:, t].set(to_planes(state, dtype=jnp.uint8)),
+            moves_b.at[:, t].set(res.move),
+            values_b.at[:, t].set(res.value),
+            policies_b.at[:, t].set(res.values_policy),
+            mask_b.at[:, t].set(active),
         )
         state = step(state, res.move, active)
-        return (state, key), record
+        return t + 1, state, key, bufs
 
-    init = (initial_state((batch,)), key)
-    (final_state, _), (planes, moves, values, policies, mask) = jax.lax.scan(
-        ply, init, None, length=AREA
+    _, final_state, _, bufs = jax.lax.while_loop(
+        cond, ply, (jnp.int32(0), state0, key, buffers0)
     )
-
-    # scan stacks time-major; transpose to batch-major once
-    planes = jnp.moveaxis(planes, 0, 1)
-    moves = jnp.moveaxis(moves, 0, 1)
-    values = jnp.moveaxis(values, 0, 1)
-    policies = jnp.moveaxis(policies, 0, 1)
-    mask = jnp.moveaxis(mask, 0, 1)
+    planes, moves, values, policies, mask = bufs
 
     zero = lambda x: jnp.where(
         mask.reshape(mask.shape + (1,) * (x.ndim - 2)), x, jnp.zeros_like(x)

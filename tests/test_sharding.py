@@ -1,0 +1,111 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh (conftest.py):
+sharded self-play and DP training must produce the same results as the
+single-device programs, and gradients must be correctly all-reduced."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from connect4_tpu.config import MCTSConfig, ModelConfig, NetConfig
+from connect4_tpu.eval.evaluators import centre_evaluator_batched
+from connect4_tpu.models import init_net
+from connect4_tpu.parallel.mesh import make_mesh, replicate
+from connect4_tpu.parallel.sharded import (
+    make_sharded_play_fn,
+    make_sharded_train_step,
+)
+from connect4_tpu.training.learner import (
+    TrainState,
+    make_optimizer,
+    make_train_step,
+    set_learning_rate,
+)
+from connect4_tpu.training.self_play import make_play_fn
+
+
+def test_eight_virtual_devices_available():
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+
+
+def test_sharded_selfplay_matches_single_device():
+    config = MCTSConfig(simulations=6)
+    batch = 16
+    mesh = make_mesh((8,))
+
+    single = make_play_fn(centre_evaluator_batched, config, batch)
+    sharded = make_sharded_play_fn(centre_evaluator_batched, config, batch, mesh)
+
+    key = jax.random.key(3)
+    out_single = jax.tree_util.tree_map(np.asarray, single(key))
+    out_sharded = jax.tree_util.tree_map(np.asarray, sharded(key))
+
+    np.testing.assert_array_equal(out_single.moves, out_sharded.moves)
+    np.testing.assert_array_equal(out_single.result, out_sharded.result)
+    np.testing.assert_allclose(
+        out_single.policies, out_sharded.policies, atol=1e-6
+    )
+
+
+def test_sharded_selfplay_output_is_sharded():
+    mesh = make_mesh((8,))
+    sharded = make_sharded_play_fn(
+        centre_evaluator_batched, MCTSConfig(simulations=4), 8, mesh
+    )
+    out = sharded(jax.random.key(0))
+    sharding = out.moves.sharding
+    assert isinstance(sharding, NamedSharding)
+    assert sharding.spec[0] == "data"
+
+
+def test_dp_train_step_matches_single_device():
+    """One DP step over 8 devices == one step on one device (same batch)."""
+    model_cfg = ModelConfig(
+        net_config=NetConfig(filters=4, n_fc_layers=1, n_residuals=1)
+    )
+    net, variables = init_net(model_cfg.net_config, jax.random.key(0))
+    optimizer = make_optimizer(model_cfg)
+
+    def fresh_state():
+        return TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=set_learning_rate(
+                optimizer.init(variables["params"]), 0.01
+            ),
+        )
+
+    x = jax.random.bernoulli(jax.random.key(1), 0.3, (64, 6, 7, 3)).astype(
+        jnp.float32
+    )
+    v = jax.random.bernoulli(jax.random.key(2), 0.5, (64,)).astype(jnp.float32)
+    p = jax.nn.softmax(jax.random.normal(jax.random.key(3), (64, 7)), axis=-1)
+
+    single_step = jax.jit(make_train_step(net, optimizer))
+    s1, m1 = single_step(fresh_state(), x, v, p)
+
+    mesh = make_mesh((8,))
+    sharded_step = make_sharded_train_step(net, optimizer, mesh)
+    state_rep = replicate(fresh_state(), mesh)
+    s2, m2 = sharded_step(state_rep, x, v, p)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_uneven_batch_rejected():
+    mesh = make_mesh((8,))
+    try:
+        make_sharded_play_fn(
+            centre_evaluator_batched, MCTSConfig(simulations=2), 12, mesh
+        )
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
