@@ -229,6 +229,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.mode == "game" and args.simulations <= 0:
         raise ValueError("Simulations must be a positive integer")
+
+    from connect4_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args.fn(args)
 
 

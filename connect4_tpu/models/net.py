@@ -125,7 +125,9 @@ def init_net(
     """Create the module and initial variables ({'params', 'batch_stats'})."""
     net = Connect4Net(config)
     dummy = jnp.zeros((batch, 6, 7, config.channels), dtype=jnp.float32)
-    variables = net.init(rng, dummy, train=False)
+    # jit the init: eager per-op dispatch is pathologically slow through
+    # remote-TPU tunnels (hundreds of tiny transfers otherwise)
+    variables = jax.jit(lambda r, d: net.init(r, d, train=False))(rng, dummy)
     return net, variables
 
 

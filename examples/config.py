@@ -1,0 +1,30 @@
+"""Example training configuration.
+
+The counterpart of the reference's example config
+(``/root/reference/oinkoink/data/example_config.py``): the published run's
+net (filters=64, fc=6, res=6) with default AlphaZero search settings.
+Pass to the CLI: ``python -m connect4_tpu.cli training -c examples/config.py``.
+"""
+
+from connect4_tpu.config import (
+    AlphaZeroConfig,
+    ModelConfig,
+    NetConfig,
+    StorageConfig,
+)
+
+config = AlphaZeroConfig(
+    model_config=ModelConfig(
+        net_config=NetConfig(
+            filters=64,
+            n_fc_layers=6,
+            n_residuals=6,
+            compute_dtype="bfloat16",
+        ),
+    ),
+    storage_config=StorageConfig(),  # save_dir defaults to ~/connect4_tpu_runs
+    simulations=800,
+    n_training_games=1200,
+    selfplay_batch=1200,
+    n_eval=500,
+)
