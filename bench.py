@@ -48,7 +48,7 @@ def main():
         make_train_step,
         set_learning_rate,
     )
-    from connect4_tpu.training.self_play import make_play_fn, training_arrays
+    from connect4_tpu.training.self_play import make_stepwise_play_fn, training_arrays
 
     log(f"devices: {jax.devices()}")
     log(f"workload: {n_games} games x {sims} sims")
@@ -74,14 +74,17 @@ def main():
         num_sampling_moves=6,
     )
     evaluator = make_net_evaluator(net, state.params, state.batch_stats)
-    play = make_play_fn(evaluator, search_config, n_games)
+    play = make_stepwise_play_fn(evaluator, search_config, n_games)
     train_step = jax.jit(make_train_step(net, optimizer))
 
     # compile both programs outside the timed region (one-time cost,
     # persisted by the compilation cache across runs)
     t0 = time.time()
-    warm = jax.block_until_ready(play(jax.random.key(99)))
-    log(f"self-play compile+first run: {time.time() - t0:.1f}s")
+    warm = jax.block_until_ready(play(
+        jax.random.key(99),
+        progress=lambda t, n: log(f"  warm ply {t}: {n} live games {time.time()-t0:.0f}s"),
+    ))
+    log(f"self-play compile+first generation: {time.time() - t0:.1f}s")
     planes_w, values_w, policies_w = training_arrays(warm)
     m = min(len(values_w), model_config.batch_size)
     dummy = (

@@ -139,21 +139,30 @@ def bits_to_planes(o_bits: np.ndarray, x_bits: np.ndarray, age_parity_o: bool = 
     return planes
 
 
+ABORTED = -128
+
+
 def _solve_bits(
     solver,
     positions: List[Tuple[int, int]],
     to_move_is_o: bool,
     n_threads: int,
+    budget: int = 0,
 ) -> np.ndarray:
-    """Absolute values for (o, x) bit pairs via the native batch solver."""
+    """Absolute values for (o, x) bit pairs via the native batch solver.
+    Entries whose proof exceeded ``budget`` nodes come back as NaN."""
     o = np.array([p[0] for p in positions], dtype=np.uint64)
     x = np.array([p[1] for p in positions], dtype=np.uint64)
     out = np.zeros(len(positions), dtype=np.int8)
     if to_move_is_o:
-        solver._lib.solver_solve_batch(solver._handle, o, x, len(positions), out, n_threads)
-        return (out.astype(np.float32) + 1.0) / 2.0
-    solver._lib.solver_solve_batch(solver._handle, x, o, len(positions), out, n_threads)
-    return 1.0 - (out.astype(np.float32) + 1.0) / 2.0
+        solver._lib.solver_solve_batch(
+            solver._handle, o, x, len(positions), out, n_threads, budget)
+        vals = (out.astype(np.float32) + 1.0) / 2.0
+    else:
+        solver._lib.solver_solve_batch(
+            solver._handle, x, o, len(positions), out, n_threads, budget)
+        vals = 1.0 - (out.astype(np.float32) + 1.0) / 2.0
+    return np.where(out == ABORTED, np.nan, vals)
 
 
 def build_8ply(
@@ -185,27 +194,72 @@ def build_8ply(
                 values = prev
                 start = int(d["done"])
 
-    solver = ExactSolver(tt_size)
-    t0 = time.time()
-    for i in range(start, len(positions), chunk):
-        sl = positions[i : i + chunk]
-        values[i : i + len(sl)] = _solve_bits(solver, sl, True, n_threads)
-        done = i + len(sl)
-        np.savez(partial, values=values, done=np.int64(done))
-        if verbose:
-            rate = (done - start) / max(time.time() - t0, 1e-9)
-            print(
-                f"8ply: {done}/{len(positions)} ({rate:.1f} pos/s, "
-                f"{solver.nodes:,} nodes)",
-                flush=True,
-            )
-
     o_bits = np.array([p[0] for p in positions], dtype=np.uint64)
     x_bits = np.array([p[1] for p in positions], dtype=np.uint64)
     planes = bits_to_planes(o_bits, x_bits, age_parity_o=True)
-    np.savez_compressed(
-        out_path, planes=planes, values=values, o_bits=o_bits, x_bits=x_bits
-    )
+
+    def emit() -> None:
+        """Write the dataset with whatever is solved so far. Consumers
+        filter on ``solved``; once complete it has no effect."""
+        np.savez_compressed(
+            out_path,
+            planes=planes,
+            values=np.nan_to_num(values, nan=0.5),
+            solved=~np.isnan(values),
+            o_bits=o_bits,
+            x_bits=x_bits,
+        )
+
+    solver = ExactSolver(tt_size)
+    # Solve in a seeded-shuffled order: hard (deep drawish) positions
+    # cluster in the DFS enumeration order, which would stall sequential
+    # progress; shuffling spreads them so the easy majority materialises
+    # first. Pass 1 caps each proof; pass 2 finishes the hard tail.
+    rng = np.random.default_rng(12345)
+    order = rng.permutation(len(positions))
+    order = order[np.isnan(values[order])]
+
+    t0 = time.time()
+    pass1_budget = 1_000_000
+    for i in range(0, len(order), chunk):
+        idx = order[i : i + chunk]
+        sl = [positions[j] for j in idx]
+        values[idx] = _solve_bits(solver, sl, True, n_threads, budget=pass1_budget)
+        np.savez(partial, values=values, done=np.int64(0))
+        if verbose:
+            done = i + len(idx)
+            rate = done / max(time.time() - t0, 1e-9)
+            print(
+                f"8ply pass1: {done}/{len(order)} ({rate:.1f} pos/s, "
+                f"deferred {int(np.isnan(values).sum())}, "
+                f"{solver.nodes:,} nodes)",
+                flush=True,
+            )
+        if (i // chunk) % 20 == 19:
+            emit()
+
+    # Pass 2: unlimited solves for the deferred hard positions.
+    remaining = np.nonzero(np.isnan(values))[0]
+    t0 = time.time()
+    step2 = max(chunk // 25, 4)
+    for i in range(0, len(remaining), step2):
+        idx = remaining[i : i + step2]
+        sl = [positions[j] for j in idx]
+        values[idx] = _solve_bits(solver, sl, True, n_threads)
+        np.savez(partial, values=values, done=np.int64(0))
+        if verbose:
+            solved = i + len(idx)
+            rate = solved / max(time.time() - t0, 1e-9)
+            print(
+                f"8ply pass2: {solved}/{len(remaining)} hard positions "
+                f"({rate:.2f} pos/s)",
+                flush=True,
+            )
+        if (i // step2) % 20 == 19:
+            emit()
+
+    assert not np.isnan(values).any()
+    emit()
     if os.path.exists(partial):
         os.remove(partial)
     return out_path
@@ -242,40 +296,93 @@ def build_7ply(
                 policies = d["policies"]
                 start = int(d["done"])
 
+    # 8-ply value table from a prior build_8ply run accelerates child
+    # lookups enormously (the reference used the UCI table the same way,
+    # ``generate_7ply.py:59-83``); children outside the table are solved
+    # directly.
+    table = {}
+    table_path = os.path.join(os.path.dirname(out_path), "connect4dataset_8ply.npz")
+    if os.path.exists(table_path):
+        with np.load(table_path) as d:
+            for o_b, x_b, v in zip(d["o_bits"], d["x_bits"], d["values"]):
+                table[(int(o_b), int(x_b))] = float(v)
+                table[(_mirror(int(o_b)), _mirror(int(x_b)))] = float(v)
+        if verbose:
+            print(f"7ply: loaded {len(table)} 8-ply table entries", flush=True)
+
     solver = ExactSolver(tt_size)
     t0 = time.time()
-    for i in range(start, len(ips), chunk):
-        for j, (o, x) in enumerate(ips[i : i + chunk]):
-            mask = o | x
-            child_vals = np.full(WIDTH, np.nan, dtype=np.float32)
-            child_positions, child_cols = [], []
-            for c in range(WIDTH):
-                cell = (mask + _COL_BASE[c]) & _COL_FULL[c]
-                if not cell:
-                    continue
-                nx = x | cell  # x moves at ply 7
-                if _wins(nx):
-                    child_vals[c] = 0.0  # x win
-                elif (mask | cell) == _BOARD:
-                    child_vals[c] = 0.5
+    pass1_budget = 2_000_000
+
+    def resolve_ip(i, budget):
+        """Returns True when fully resolved; fills values/policies[i]."""
+        o, x = ips[i]
+        mask = o | x
+        child_vals = np.full(WIDTH, np.nan, dtype=np.float32)
+        exists = np.zeros(WIDTH, dtype=bool)
+        pending, cols = [], []
+        for c in range(WIDTH):
+            cell = (mask + _COL_BASE[c]) & _COL_FULL[c]
+            if not cell:
+                continue
+            exists[c] = True
+            nx = x | cell  # x moves at ply 7
+            if _wins(nx):
+                child_vals[c] = 0.0  # x win
+            elif (mask | cell) == _BOARD:
+                child_vals[c] = 0.5
+            else:
+                hit = table.get((o, nx))
+                if hit is not None:
+                    child_vals[c] = hit
                 else:
-                    child_positions.append((o, nx))
-                    child_cols.append(c)
-            if child_positions:
-                # children are 8-ply positions: o to move
-                vals = _solve_bits(solver, child_positions, True, n_threads)
-                for c, v in zip(child_cols, vals):
-                    child_vals[c] = v
-            valid = ~np.isnan(child_vals)
-            best = np.nanmin(child_vals)  # x (minimiser) to move
-            values[i + j] = best
-            optimal = valid & (np.abs(child_vals - best) < 1e-9)
-            policies[i + j] = optimal / optimal.sum()
-        done = i + len(ips[i : i + chunk])
+                    pending.append((o, nx))
+                    cols.append(c)
+        if pending:
+            vals = _solve_bits(solver, pending, True, n_threads, budget=budget)
+            for c, v in zip(cols, vals):
+                child_vals[c] = v
+        if np.isnan(child_vals[exists]).any():
+            return False
+        best = np.min(child_vals[exists])  # x (minimiser) to move
+        values[i] = best
+        optimal = exists & (np.abs(child_vals - best) < 1e-9)
+        policies[i] = optimal / optimal.sum()
+        return True
+
+    deferred = []
+    for i in range(start, len(ips), chunk):
+        for j in range(i, min(i + chunk, len(ips))):
+            if not resolve_ip(j, pass1_budget):
+                deferred.append(j)
+        done = min(i + chunk, len(ips))
         np.savez(partial, values=values, policies=policies, done=np.int64(done))
         if verbose:
             rate = (done - start) / max(time.time() - t0, 1e-9)
-            print(f"7ply: {done}/{len(ips)} ({rate:.1f} pos/s)", flush=True)
+            print(
+                f"7ply pass1: {done}/{len(ips)} ({rate:.1f} pos/s, "
+                f"deferred {len(deferred)})",
+                flush=True,
+            )
+
+    if start >= len(ips):  # resumed directly into pass 2
+        deferred = [int(i) for i in np.nonzero(np.isnan(values))[0]]
+
+    t0 = time.time()
+    for k, i in enumerate(deferred):
+        resolve_ip(i, 0)
+        if (k + 1) % 10 == 0 or k + 1 == len(deferred):
+            np.savez(
+                partial, values=values, policies=policies,
+                done=np.int64(len(ips)),
+            )
+            if verbose:
+                rate = (k + 1) / max(time.time() - t0, 1e-9)
+                print(
+                    f"7ply pass2: {k + 1}/{len(deferred)} ({rate:.2f} pos/s)",
+                    flush=True,
+                )
+    assert not np.isnan(values).any()
 
     o_bits = np.array([p[0] for p in ips], dtype=np.uint64)
     x_bits = np.array([p[1] for p in ips], dtype=np.uint64)

@@ -93,12 +93,13 @@ uint64_t winning_cells(uint64_t pos) {
 
 // -- lock-free transposition table -----------------------------------------
 //
-// Entry packs (key:56 | value+1:2 | bound:2) into one atomic uint64. The
-// position code current+mask+BOTTOM fits in 50 bits, so 56 key bits are
-// exact. Races between threads are benign: entries are self-consistent
-// (single atomic word) and at worst overwrite each other.
-
-enum Bound : uint64_t { EXACT = 0, LOWER = 1, UPPER = 2 };
+// Entry packs (key:56 | lower+1:2 | upper+1:2 | occupied:1) into one atomic
+// uint64, storing BOTH bounds of the {-1,0,1} outcome — a narrow window
+// search that proves "not a win" and later one that proves "not a loss"
+// together pin the draw without a third search. The position code
+// current+mask+BOTTOM fits in 50 bits, so 56 key bits are exact. Races are
+// benign: entries are self-consistent single words; concurrent merges may
+// lose one update but never corrupt.
 
 struct TT {
   std::vector<std::atomic<uint64_t>> table;
@@ -106,31 +107,44 @@ struct TT {
 
   explicit TT(size_t size_pow2) : table(size_pow2), index_mask(size_pow2 - 1) {}
 
-  static uint64_t pack(uint64_t key, int value, uint64_t bound) {
+  static uint64_t pack(uint64_t key, int lower, int upper) {
     return (key & ((UINT64_C(1) << 56) - 1)) |
-           (static_cast<uint64_t>(value + 1) << 56) | (bound << 58) |
+           (static_cast<uint64_t>(lower + 1) << 56) |
+           (static_cast<uint64_t>(upper + 1) << 58) |
            (UINT64_C(1) << 60);  // occupancy bit
   }
 
-  void put(uint64_t key, int value, uint64_t bound) {
-    table[key & index_mask].store(pack(key, value, bound),
-                                  std::memory_order_relaxed);
+  // Merge new bounds with any existing entry for the same key.
+  void put(uint64_t key, int lower, int upper) {
+    std::atomic<uint64_t>& slot = table[key & index_mask];
+    uint64_t e = slot.load(std::memory_order_relaxed);
+    if ((e & (UINT64_C(1) << 60)) &&
+        (e & ((UINT64_C(1) << 56) - 1)) == (key & ((UINT64_C(1) << 56) - 1))) {
+      int old_lower = static_cast<int>((e >> 56) & 3) - 1;
+      int old_upper = static_cast<int>((e >> 58) & 3) - 1;
+      if (old_lower > lower) lower = old_lower;
+      if (old_upper < upper) upper = old_upper;
+    }
+    slot.store(pack(key, lower, upper), std::memory_order_relaxed);
   }
 
-  bool get(uint64_t key, int* value, uint64_t* bound) const {
+  bool get(uint64_t key, int* lower, int* upper) const {
     uint64_t e = table[key & index_mask].load(std::memory_order_relaxed);
     if (!(e & (UINT64_C(1) << 60))) return false;
     if ((e & ((UINT64_C(1) << 56) - 1)) != (key & ((UINT64_C(1) << 56) - 1)))
       return false;
-    *value = static_cast<int>((e >> 56) & 3) - 1;
-    *bound = (e >> 58) & 3;
+    *lower = static_cast<int>((e >> 56) & 3) - 1;
+    *upper = static_cast<int>((e >> 58) & 3) - 1;
     return true;
   }
 };
 
+constexpr int ABORTED = -128;  // sentinel: node budget exhausted
+
 struct Worker {
   TT* tt;
   uint64_t nodes = 0;
+  uint64_t budget = ~UINT64_C(0);  // max nodes before aborting the search
 
   // canonical (mirror-min) position code
   static uint64_t code(uint64_t current, uint64_t mask) {
@@ -139,9 +153,10 @@ struct Worker {
     return k1 < k2 ? k1 : k2;
   }
 
-  // Outcome for the side to move on (current, mask): 1 win, 0 draw, -1 loss.
+  // Outcome for the side to move on (current, mask): 1 win, 0 draw, -1 loss,
+  // or ABORTED once the node budget is exhausted (TT bounds stay valid).
   int solve(uint64_t current, uint64_t mask, int alpha, int beta) {
-    ++nodes;
+    if (++nodes > budget) return ABORTED;
     uint64_t opponent = mask ^ current;
 
     uint64_t empties = BOARD_MASK & ~mask;
@@ -153,6 +168,22 @@ struct Worker {
     if (my_wins & playable_cells) return 1;  // immediate win
 
     if (!empties) return 0;  // board full: draw
+
+    // Dead-side bounds: a side whose every line of four is already blocked
+    // can never win, capping its best outcome at a draw. Quiet drawish
+    // positions collapse long before the board fills (the weak-solve
+    // analogue of score-range pruning in strong solvers).
+    bool i_can_ever_win = has_won(current | empties);
+    bool opp_can_ever_win = has_won(opponent | empties);
+    if (!i_can_ever_win && !opp_can_ever_win) return 0;
+    if (!i_can_ever_win) {
+      if (beta > 0) beta = 0;  // my best possible outcome is a draw
+      if (alpha >= beta) return beta;
+    }
+    if (!opp_can_ever_win) {
+      if (alpha < 0) alpha = 0;  // opponent can no longer beat me
+      if (beta <= alpha) return alpha;
+    }
 
     uint64_t opp_wins = winning_cells(opponent) & empties;
     uint64_t forced = opp_wins & playable_cells;
@@ -167,18 +198,14 @@ struct Worker {
     if (!candidates) return -1;
 
     uint64_t key = code(current, mask);
-    int cached;
-    uint64_t cbound;
-    if (tt->get(key, &cached, &cbound)) {
-      if (cbound == EXACT) return cached;
-      if (cbound == LOWER) {
-        if (cached >= beta) return cached;
-        if (cached > alpha) alpha = cached;
-      } else {
-        if (cached <= alpha) return cached;
-        if (cached < beta) beta = cached;
-      }
-      if (alpha >= beta) return cached;
+    int t_lower, t_upper;
+    if (tt->get(key, &t_lower, &t_upper)) {
+      if (t_lower == t_upper) return t_lower;
+      if (t_lower >= beta) return t_lower;
+      if (t_upper <= alpha) return t_upper;
+      if (t_lower > alpha) alpha = t_lower;
+      if (t_upper < beta) beta = t_upper;
+      if (alpha >= beta) return alpha;
     }
     const int alpha0 = alpha;
 
@@ -212,24 +239,31 @@ struct Worker {
     for (int i = 0; i < n; ++i) {
       uint64_t cell = play_cell(mask, cols[i]);
       int score = -solve(opponent, mask | cell, -beta, -alpha);
+      if (score == -ABORTED || score == ABORTED) return ABORTED;
       if (score > best) best = score;
       if (best > alpha) alpha = best;
       if (alpha >= beta) break;
     }
 
-    uint64_t flag = best <= alpha0 ? UPPER : (best >= beta ? LOWER : EXACT);
-    tt->put(key, best, flag);
+    if (best <= alpha0) {
+      tt->put(key, -1, best);  // upper bound
+    } else if (best >= beta) {
+      tt->put(key, best, 1);  // lower bound
+    } else {
+      tt->put(key, best, best);  // exact
+    }
     return best;
   }
 };
 
 int solve_entry(TT* tt, uint64_t* nodes, uint64_t to_move_bits,
-                uint64_t other_bits) {
+                uint64_t other_bits, uint64_t budget) {
   if (has_won(to_move_bits)) return 1;
   if (has_won(other_bits)) return -1;
   uint64_t mask = to_move_bits | other_bits;
   if ((mask & BOARD_MASK) == BOARD_MASK) return 0;
   Worker w{tt};
+  if (budget) w.budget = budget;
   int r = w.solve(to_move_bits, mask, -1, 1);
   if (nodes) *nodes += w.nodes;
   return r;
@@ -256,18 +290,21 @@ uint64_t solver_nodes(void* s) { return static_cast<SolverHandle*>(s)->nodes; }
 // Outcome for the side to move: 1 win, 0 draw, -1 loss.
 int solver_solve(void* sv, uint64_t to_move_bits, uint64_t other_bits) {
   SolverHandle* s = static_cast<SolverHandle*>(sv);
-  return solve_entry(&s->tt, &s->nodes, to_move_bits, other_bits);
+  return solve_entry(&s->tt, &s->nodes, to_move_bits, other_bits, 0);
 }
 
-// Batch solve across `n_threads` workers sharing the table.
+// Batch solve across `n_threads` workers sharing the table. `budget` = max
+// nodes per position (0 = unlimited); positions exceeding it get -128 in
+// `out` and can be re-solved later (accumulated TT bounds remain valid).
 void solver_solve_batch(void* sv, const uint64_t* to_move_bits,
                         const uint64_t* other_bits, int64_t n, int8_t* out,
-                        int n_threads) {
+                        int n_threads, uint64_t budget) {
   SolverHandle* s = static_cast<SolverHandle*>(sv);
   if (n_threads <= 1) {
     for (int64_t i = 0; i < n; ++i) {
-      out[i] = static_cast<int8_t>(
-          solve_entry(&s->tt, &s->nodes, to_move_bits[i], other_bits[i]));
+      out[i] = static_cast<int8_t>(solve_entry(&s->tt, &s->nodes,
+                                               to_move_bits[i], other_bits[i],
+                                               budget));
     }
     return;
   }
@@ -278,8 +315,8 @@ void solver_solve_batch(void* sv, const uint64_t* to_move_bits,
     for (;;) {
       int64_t i = next.fetch_add(1, std::memory_order_relaxed);
       if (i >= n) break;
-      out[i] = static_cast<int8_t>(
-          solve_entry(&s->tt, &local_nodes, to_move_bits[i], other_bits[i]));
+      out[i] = static_cast<int8_t>(solve_entry(
+          &s->tt, &local_nodes, to_move_bits[i], other_bits[i], budget));
     }
     total_nodes.fetch_add(local_nodes, std::memory_order_relaxed);
   };

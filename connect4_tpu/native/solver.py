@@ -56,6 +56,7 @@ def _load() -> ctypes.CDLL:
             ctypes.c_int64,
             np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
             ctypes.c_int,
+            ctypes.c_uint64,
         ]
         _lib = lib
     return _lib
@@ -124,7 +125,7 @@ class ExactSolver:
                 to_move[i], other[i] = x_bits, o_bits
         out = np.zeros(len(boards), dtype=np.int8)
         self._lib.solver_solve_batch(
-            self._handle, to_move, other, len(boards), out, n_threads
+            self._handle, to_move, other, len(boards), out, n_threads, 0
         )
         # outcome (side to move) -> absolute value
         value_to_move = (out.astype(np.float32) + 1.0) / 2.0

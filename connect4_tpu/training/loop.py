@@ -45,7 +45,7 @@ from connect4_tpu.training.learner import (
     make_train_step,
     set_learning_rate,
 )
-from connect4_tpu.training.self_play import make_play_fn
+from connect4_tpu.training.self_play import make_stepwise_play_fn
 from connect4_tpu.training.stats import CombinedStats, ValueStats
 from connect4_tpu.types import DRAW, O_WIN, X_WIN
 
@@ -126,7 +126,7 @@ class TrainingLoop:
     def _generate_games(self) -> None:
         cfg = self.config.search_config(training=True)
         batch = min(self.config.selfplay_batch, self.config.n_training_games)
-        play = make_play_fn(self._evaluator(), cfg, batch)
+        play = make_stepwise_play_fn(self._evaluator(), cfg, batch)
 
         outputs = []
         games_done = 0
@@ -190,8 +190,12 @@ class TrainingLoop:
         path8 = self._benchmark_path("connect4dataset_8ply.npz")
         if path8:
             with np.load(path8) as d:
+                planes8, values8 = d["planes"], d["values"]
+                if "solved" in d:  # partially-built benchmark: use solved rows
+                    planes8 = planes8[d["solved"]]
+                    values8 = values8[d["solved"]]
                 stats = ValueStats()
-                for planes, vals in _batches(d["planes"], d["values"], 4096):
+                for planes, vals in _batches(planes8, values8, 4096):
                     value, _ = self.forward(
                         self.state.params,
                         self.state.batch_stats,

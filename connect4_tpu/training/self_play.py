@@ -64,11 +64,24 @@ def play_games(
 
     state0 = init_state if init_state is not None else initial_state((batch,))
 
-    # Preallocated batch-major output buffers written by ply index. A
-    # while_loop (rather than scan over all 42 plies) exits as soon as the
-    # whole batch has finished — typical games end well before ply 42, so
-    # this trims ~20-40% of the search work per generation.
-    buffers0 = (
+    def cond(carry):
+        t, state, _, _ = carry
+        return (t < AREA) & jnp.any(state.result == ONGOING)
+
+    def ply(carry):
+        t, state, key, bufs = carry
+        state, key, bufs = _ply_body(eval_fn, config, state, key, bufs, t)
+        return t + 1, state, key, bufs
+
+    _, final_state, _, bufs = jax.lax.while_loop(
+        cond, ply, (jnp.int32(0), state0, key, _empty_buffers(batch))
+    )
+    return _finalize(final_state, bufs)
+
+
+def _empty_buffers(batch: int):
+    """Batch-major per-ply record buffers, written at the ply index."""
+    return (
         jnp.zeros((batch, AREA, 3, HEIGHT, WIDTH), jnp.uint8),
         jnp.zeros((batch, AREA), jnp.int32),
         jnp.zeros((batch, AREA), jnp.float32),
@@ -76,31 +89,26 @@ def play_games(
         jnp.zeros((batch, AREA), jnp.bool_),
     )
 
-    def cond(carry):
-        t, state, _, _ = carry
-        return (t < AREA) & jnp.any(state.result == ONGOING)
 
-    def ply(carry):
-        t, state, key, bufs = carry
-        key, search_key = jax.random.split(key)
-        active = state.result == ONGOING
-        res = search(eval_fn, state, search_key, config, active)
-        planes_b, moves_b, values_b, policies_b, mask_b = bufs
-        bufs = (
-            planes_b.at[:, t].set(to_planes(state, dtype=jnp.uint8)),
-            moves_b.at[:, t].set(res.move),
-            values_b.at[:, t].set(res.value),
-            policies_b.at[:, t].set(res.values_policy),
-            mask_b.at[:, t].set(active),
-        )
-        state = step(state, res.move, active)
-        return t + 1, state, key, bufs
-
-    _, final_state, _, bufs = jax.lax.while_loop(
-        cond, ply, (jnp.int32(0), state0, key, buffers0)
+def _ply_body(eval_fn, config, state, key, bufs, t):
+    """One ply for the whole batch: search all live games, record, step."""
+    key, search_key = jax.random.split(key)
+    active = state.result == ONGOING
+    res = search(eval_fn, state, search_key, config, active)
+    planes_b, moves_b, values_b, policies_b, mask_b = bufs
+    bufs = (
+        planes_b.at[:, t].set(to_planes(state, dtype=jnp.uint8)),
+        moves_b.at[:, t].set(res.move),
+        values_b.at[:, t].set(res.value),
+        policies_b.at[:, t].set(res.values_policy),
+        mask_b.at[:, t].set(active),
     )
-    planes, moves, values, policies, mask = bufs
+    state = step(state, res.move, active)
+    return state, key, bufs
 
+
+def _finalize(final_state: BoardState, bufs) -> SelfPlayOutput:
+    planes, moves, values, policies, mask = bufs
     zero = lambda x: jnp.where(
         mask.reshape(mask.shape + (1,) * (x.ndim - 2)), x, jnp.zeros_like(x)
     )
@@ -116,12 +124,49 @@ def play_games(
 
 
 def make_play_fn(eval_fn: BatchedEvaluator, config: MCTSConfig, batch: int):
-    """Jitted closure ``key -> SelfPlayOutput``."""
+    """Jitted closure ``key -> SelfPlayOutput`` (whole generation in one
+    device program; used by tests and the multi-chip dryrun)."""
 
     def run(key: jax.Array) -> SelfPlayOutput:
         return play_games(eval_fn, config, batch, key)
 
     return jax.jit(run)
+
+
+def make_stepwise_play_fn(
+    eval_fn: BatchedEvaluator, config: MCTSConfig, batch: int
+):
+    """Host-driven generation: one jitted device call per ply instead of a
+    single multi-minute device program. Produces results identical to
+    ``make_play_fn`` (same op order and key threading), but each device
+    call lasts seconds — robust against RPC/tunnel deadlines on remote
+    TPUs — and the host loop exits as soon as every game is finished.
+    Buffers are donated, so records stay device-resident between plies."""
+
+    def ply(state, key, bufs, t):
+        return _ply_body(eval_fn, config, state, key, bufs, t)
+
+    # note: no buffer donation — the remote-TPU backend used in this
+    # environment mishandles long-lived donated buffers, and at ~13 MB the
+    # copies are immaterial
+    ply_jit = jax.jit(ply)
+    finalize_jit = jax.jit(_finalize)
+    init_jit = jax.jit(
+        lambda: (initial_state((batch,)), _empty_buffers(batch))
+    )
+
+    def run(key: jax.Array, progress=None) -> SelfPlayOutput:
+        state, bufs = init_jit()
+        for t in range(AREA):
+            state, key, bufs = ply_jit(state, key, bufs, jnp.int32(t))
+            ongoing = int(np.asarray((state.result == ONGOING).sum()))
+            if progress is not None:
+                progress(t, ongoing)
+            if not ongoing:
+                break
+        return finalize_jit(state, bufs)
+
+    return run
 
 
 def training_arrays(

@@ -79,6 +79,22 @@ def test_training_arrays_augmentation():
     np.testing.assert_array_equal(values[:m], np.array(expected, dtype=np.float32))
 
 
+def test_stepwise_matches_whole_program():
+    """The host-driven per-ply generation must produce bit-identical output
+    to the single jitted program (same ops, same key threading)."""
+    from connect4_tpu.training.self_play import make_stepwise_play_fn
+
+    config = MCTSConfig(simulations=10, num_sampling_moves=3,
+                        root_dirichlet_alpha=0.3, root_exploration_fraction=0.25)
+    whole = make_play_fn(centre_evaluator_batched, config, 5)
+    stepwise = make_stepwise_play_fn(centre_evaluator_batched, config, 5)
+    key = jax.random.key(11)
+    a = jax.tree_util.tree_map(np.asarray, whole(key))
+    b = jax.tree_util.tree_map(np.asarray, stepwise(key))
+    for name, x, y in zip(a._fields, a, b):
+        np.testing.assert_array_equal(x, y, err_msg=name)
+
+
 def test_sampling_changes_openings():
     """With opening sampling + noise on, a batch should not play 42
     identical games."""
