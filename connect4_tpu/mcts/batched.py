@@ -17,6 +17,15 @@ for opening plies, root-only Dirichlet noise, masked-renormalised priors,
 "unknown child = 0.0", terminal revisit re-accumulation, and largest-move
 tie-breaks. Fidelity is enforced by tests/test_mcts.py.
 
+Performance notes (the descent/backup loops run ~tree-depth iterations per
+simulation, so per-iteration op count is the critical constant):
+
+- Per-node search statistics are packed into one float32 ``stats[B, N, 4]``
+  slab (visits, value sum, terminal value, terminal flag) so PUCT needs a
+  single child-block gather and backup a single scatter-add.
+- Descent steps the board with a win-check-free "light" step; terminality
+  along the walked path is already known from the tree metadata.
+
 Memory layout per game (N = tree capacity = 1 + 7*simulations by default):
 child slots are allocated seven at a time, so a node's children occupy the
 contiguous block ``[children_base, children_base + 7)`` and the move that
@@ -41,9 +50,15 @@ from connect4_tpu.env.core import (
     to_planes,
 )
 from connect4_tpu.eval.evaluators import BatchedEvaluator
-from connect4_tpu.types import ONGOING, WIDTH
+from connect4_tpu.types import HEIGHT, ONGOING, WIDTH
 
 NEG_INF = jnp.float32(-jnp.inf)
+
+# stats slab channels
+_VISITS = 0
+_VSUM = 1
+_TVAL = 2
+_TERM = 3
 
 
 class TreeArrays(NamedTuple):
@@ -51,13 +66,27 @@ class TreeArrays(NamedTuple):
 
     parent: jax.Array  # int32[B, N], -1 for root
     children_base: jax.Array  # int32[B, N], -1 = unexpanded
-    visits: jax.Array  # int32[B, N]
-    value_sum: jax.Array  # float32[B, N]
+    stats: jax.Array  # float32[B, N, 4] — visits, value_sum, tval, terminal
     prior: jax.Array  # float32[B, N, 7] — node's own masked prior
     evaluated: jax.Array  # bool[B, N]
-    terminal: jax.Array  # bool[B, N]
-    tval: jax.Array  # float32[B, N] — terminal absolute value
     next_free: jax.Array  # int32[B]
+
+    # convenience views used by tests/tooling
+    @property
+    def visits(self) -> jax.Array:
+        return self.stats[..., _VISITS].astype(jnp.int32)
+
+    @property
+    def value_sum(self) -> jax.Array:
+        return self.stats[..., _VSUM]
+
+    @property
+    def tval(self) -> jax.Array:
+        return self.stats[..., _TVAL]
+
+    @property
+    def terminal(self) -> jax.Array:
+        return self.stats[..., _TERM] > 0.5
 
 
 class SearchResults(NamedTuple):
@@ -73,12 +102,9 @@ def _empty_tree(batch: int, capacity: int) -> TreeArrays:
     return TreeArrays(
         parent=jnp.full((batch, capacity), -1, jnp.int32),
         children_base=jnp.full((batch, capacity), -1, jnp.int32),
-        visits=jnp.zeros((batch, capacity), jnp.int32),
-        value_sum=jnp.zeros((batch, capacity), jnp.float32),
+        stats=jnp.zeros((batch, capacity, 4), jnp.float32),
         prior=jnp.zeros((batch, capacity, WIDTH), jnp.float32),
         evaluated=jnp.zeros((batch, capacity), jnp.bool_),
-        terminal=jnp.zeros((batch, capacity), jnp.bool_),
-        tval=jnp.zeros((batch, capacity), jnp.float32),
         next_free=jnp.ones((batch,), jnp.int32),  # slot 0 is the root
     )
 
@@ -101,14 +127,53 @@ def _take_node(arr: jax.Array, idx: jax.Array) -> jax.Array:
     ).squeeze(1)
 
 
-def _take_children(arr: jax.Array, base: jax.Array) -> jax.Array:
-    """arr[B, N] gathered at the 7-slot block starting at base[B] -> [B, 7]."""
+def _take_child_block(arr: jax.Array, base: jax.Array) -> jax.Array:
+    """arr[B, N, ...] gathered at the 7-slot block from base[B] -> [B, 7, ...]."""
     idx = base[:, None] + jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
-    return jnp.take_along_axis(arr, jnp.clip(idx, 0, arr.shape[1] - 1), axis=1)
+    idx = jnp.clip(idx, 0, arr.shape[1] - 1)
+    return jnp.take_along_axis(
+        arr, idx.reshape(idx.shape + (1,) * (arr.ndim - 2)), axis=1
+    )
 
 
 def _value_to_side(abs_value: jax.Array, side: jax.Array) -> jax.Array:
     return jnp.where(side == 0, abs_value, 1.0 - abs_value)
+
+
+def _light_step(board: BoardState, move: jax.Array, enabled: jax.Array) -> BoardState:
+    """Descent-only board step: drop the stone, no terminal detection.
+
+    Terminality along the descent path is known from the tree (terminal
+    nodes are never expanded), so the win-check in ``env.step`` would be
+    dead weight inside the hottest loop. ``result`` is left untouched;
+    downstream consumers of descent boards never read it for the nodes
+    this steps through (see search phase comments)."""
+    player = (board.age % 2).astype(jnp.int32)
+    row = jnp.take_along_axis(board.height, move[..., None], axis=-1)[..., 0]
+    rows = jnp.arange(HEIGHT, dtype=jnp.int32)
+    cols = jnp.arange(WIDTH, dtype=jnp.int32)
+    cell = (rows[:, None] == row[..., None, None]) & (
+        cols[None, :] == move[..., None, None]
+    )
+    side_sel = jnp.arange(2, dtype=jnp.int32)[:, None, None] == player[..., None, None, None]
+    update = side_sel & cell[..., None, :, :]
+    enabled_b = enabled.reshape(enabled.shape + (1, 1, 1))
+    return BoardState(
+        pieces=jnp.where(enabled_b, board.pieces | update, board.pieces),
+        height=jnp.where(
+            enabled[..., None],
+            board.height + (cols == move[..., None]).astype(jnp.int32),
+            board.height,
+        ),
+        age=jnp.where(enabled, board.age + 1, board.age),
+        result=board.result,
+    )
+
+
+def _descend_valid(board: BoardState) -> jax.Array:
+    """Legal moves during descent: open columns only. Nodes with children
+    are never terminal, so the env's result mask is redundant here."""
+    return board.height < HEIGHT
 
 
 def _child_scores(
@@ -116,6 +181,7 @@ def _child_scores(
     node: jax.Array,
     board: BoardState,
     config: MCTSConfig,
+    valid: jax.Array,
 ) -> jax.Array:
     """PUCT scores for all 7 child slots of ``node``; -inf on illegal moves.
 
@@ -125,30 +191,29 @@ def _child_scores(
     base = _take_node(tree.children_base, node)  # [B]
     side = (board.age % 2).astype(jnp.int32)
 
-    parent_visits = _take_node(tree.visits, node).astype(jnp.float32)
+    node_stats = _take_node(tree.stats, node)  # [B, 4]
+    parent_visits = node_stats[..., _VISITS]
     log_term = jnp.log(
         (parent_visits + jnp.float32(config.pb_c_base) + 1.0)
         / jnp.float32(config.pb_c_base)
     )
     pb_c0 = (log_term + jnp.float32(config.pb_c_init)) * jnp.sqrt(parent_visits)
 
-    c_visits = _take_children(tree.visits, base)  # [B, 7]
-    c_vsum = _take_children(tree.value_sum, base)
-    c_term = _take_children(tree.terminal, base)
-    c_tval = _take_children(tree.tval, base)
+    child = _take_child_block(tree.stats, base)  # [B, 7, 4]
+    c_visits = child[..., _VISITS]
+    c_vsum = child[..., _VSUM]
+    c_tval = child[..., _TVAL]
+    c_term = child[..., _TERM] > 0.5
 
-    mean = c_vsum / jnp.maximum(c_visits, 1).astype(jnp.float32)
+    mean = c_vsum / jnp.maximum(c_visits, 1.0)
     abs_val = jnp.where(c_term, c_tval, jnp.where(c_visits > 0, mean, 0.0))
     known = c_term | (c_visits > 0)
-    value_score = jnp.where(
-        known, _value_to_side(abs_val, side[:, None]), 0.0
-    )
+    value_score = jnp.where(known, _value_to_side(abs_val, side[:, None]), 0.0)
 
-    pb_c = pb_c0[:, None] / (c_visits.astype(jnp.float32) + 1.0)
+    pb_c = pb_c0[:, None] / (c_visits + 1.0)
     prior_row = _take_node(tree.prior, node)  # [B, 7]
     scores = pb_c * prior_row + value_score
 
-    valid = legal_moves(board)
     return jnp.where(valid, scores, NEG_INF)
 
 
@@ -222,11 +287,13 @@ def search(
         frac = jnp.float32(config.root_exploration_fraction)
         root_prior = root_prior * (1.0 - frac) + noise * frac
 
+    root_stats = jnp.zeros((batch, 4), jnp.float32)
+    root_stats = root_stats.at[:, _VISITS].set(1.0)
+    root_stats = root_stats.at[:, _VSUM].set(root_value.astype(jnp.float32))
     tree = tree._replace(
         prior=tree.prior.at[:, 0, :].set(root_prior),
         evaluated=tree.evaluated.at[:, 0].set(True),
-        visits=tree.visits.at[:, 0].set(1),
-        value_sum=tree.value_sum.at[:, 0].set(root_value.astype(jnp.float32)),
+        stats=tree.stats.at[:, 0, :].set(root_stats),
     )
 
     rows = jnp.arange(batch)
@@ -239,16 +306,16 @@ def search(
 
         def desc_body(carry):
             node, board, descending = carry
-            scores = _child_scores(tree_loop, node, board, config)
+            valid = _descend_valid(board)
+            scores = _child_scores(tree, node, board, config, valid)
             move = _argmax_prefer_large(scores)
-            base = _take_node(tree_loop.children_base, node)
+            base = _take_node(tree.children_base, node)
             child = base + move
-            board = step(board, move, enabled=descending)
+            board = _light_step(board, move, descending)
             node = jnp.where(descending, child, node)
-            has_kids = _take_node(tree_loop.children_base, node) >= 0
+            has_kids = _take_node(tree.children_base, node) >= 0
             return node, board, descending & has_kids
 
-        tree_loop = tree  # static arrays during descent (only stats mutate later)
         node0 = jnp.zeros((batch,), jnp.int32)
         descending0 = active & (_take_node(tree.children_base, node0) >= 0)
         leaf, leaf_board, _ = jax.lax.while_loop(
@@ -257,70 +324,68 @@ def search(
 
         # --- phase 2: expand evaluated non-terminal leaves ----------------
         leaf_eval = _take_node(tree.evaluated, leaf)
-        leaf_term = _take_node(tree.terminal, leaf)
+        leaf_stats = _take_node(tree.stats, leaf)
+        leaf_term = leaf_stats[..., _TERM] > 0.5
         need_expand = active & leaf_eval & ~leaf_term
 
         base = jnp.minimum(tree.next_free, capacity - WIDTH)
-        new_children_base = _scatter_node(
-            tree.children_base, leaf, base, need_expand
-        )
+        children_base = _scatter_node(tree.children_base, leaf, base, need_expand)
         next_free = jnp.where(
             need_expand, jnp.minimum(tree.next_free + WIDTH, capacity), tree.next_free
         )
 
+        # fresh children metadata: one stats row per slot + parent pointers.
+        # note: leaf_board.result is accurate ONGOING here for expanding
+        # games (their leaves are non-terminal by construction), so the full
+        # env step inside _expand_metadata computes true child results.
         child_term, child_tval = _expand_metadata(leaf_board)
+        child_stats = jnp.zeros((batch, WIDTH, 4), jnp.float32)
+        child_stats = child_stats.at[..., _TVAL].set(child_tval)
+        child_stats = child_stats.at[..., _TERM].set(child_term.astype(jnp.float32))
+
         slot_idx = base[:, None] + jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
         safe_slots = jnp.where(need_expand[:, None], slot_idx, capacity)
         parent = tree.parent.at[rows[:, None], safe_slots].set(
             leaf[:, None], mode="drop"
         )
-        terminal = tree.terminal.at[rows[:, None], safe_slots].set(
-            child_term, mode="drop"
+        stats = tree.stats.at[rows[:, None], safe_slots].set(
+            child_stats, mode="drop"
         )
-        tval = tree.tval.at[rows[:, None], safe_slots].set(child_tval, mode="drop")
-        # freshly (re)allocated slots must be clean even when a capacity
-        # clamp reuses a block
-        visits = tree.visits.at[rows[:, None], safe_slots].set(0, mode="drop")
-        value_sum = tree.value_sum.at[rows[:, None], safe_slots].set(0.0, mode="drop")
         evaluated = tree.evaluated.at[rows[:, None], safe_slots].set(
             False, mode="drop"
         )
-        children_base2 = new_children_base.at[rows[:, None], safe_slots].set(
+        children_base = children_base.at[rows[:, None], safe_slots].set(
             -1, mode="drop"
         )
 
         tree2 = TreeArrays(
             parent=parent,
-            children_base=children_base2,
-            visits=visits,
-            value_sum=value_sum,
+            children_base=children_base,
+            stats=stats,
             prior=tree.prior,
             evaluated=evaluated,
-            terminal=terminal,
-            tval=tval,
             next_free=next_free,
         )
 
         # select one fresh child where we expanded
-        scores = _child_scores(tree2, leaf, leaf_board, config)
+        valid2 = _descend_valid(leaf_board)
+        scores = _child_scores(tree2, leaf, leaf_board, config, valid2)
         move2 = _argmax_prefer_large(scores)
-        stepped = step(leaf_board, move2, enabled=need_expand)
+        stepped = _light_step(leaf_board, move2, need_expand)
         cur = jnp.where(need_expand, base + move2, leaf)
-        cur_board = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(
-                need_expand.reshape((batch,) + (1,) * (new.ndim - 1)), new, old
-            ),
-            stepped,
-            leaf_board,
-        )
+        cur_board = stepped
 
         # --- phase 3: evaluate the leaf -----------------------------------
-        cur_term = _take_node(tree2.terminal, cur)
+        cur_stats = _take_node(tree2.stats, cur)
+        cur_term = cur_stats[..., _TERM] > 0.5
         value_net, prior_net = eval_fn(cur_board)
-        cur_tval = _take_node(tree2.tval, cur)
-        value = jnp.where(cur_term, cur_tval, value_net.astype(jnp.float32))
+        value = jnp.where(
+            cur_term, cur_stats[..., _TVAL], value_net.astype(jnp.float32)
+        )
 
-        cur_valid = legal_moves(cur_board)
+        # legality for prior masking: open columns (terminal leaves are
+        # excluded by cur_term; descent boards carry stale result flags)
+        cur_valid = _descend_valid(cur_board)
         prior_masked = _mask_normalise(prior_net, cur_valid)
         store_prior = active & ~cur_term & ~_take_node(tree2.evaluated, cur)
         prior_arr = _scatter_node(tree2.prior, cur, prior_masked, store_prior)
@@ -329,26 +394,30 @@ def search(
         )
 
         # --- phase 4: backup along parent pointers ------------------------
+        incr = jnp.stack(
+            [jnp.ones((batch,), jnp.float32), value,
+             jnp.zeros((batch,), jnp.float32), jnp.zeros((batch,), jnp.float32)],
+            axis=-1,
+        )  # [B, 4] — adds 1 visit and the value, leaves tval/term alone
+
         def bp_cond(carry):
-            _, _, alive, _ = carry
+            _, _, alive = carry
             return jnp.any(alive)
 
         def bp_body(carry):
-            idx, vs, alive, vis = carry
+            idx, stats, alive = carry
             safe = jnp.where(alive, idx, capacity)
-            vis = vis.at[rows, safe].add(1, mode="drop")
-            vs = vs.at[rows, safe].add(value, mode="drop")
+            stats = stats.at[rows, safe].add(incr, mode="drop")
             nxt = _take_node(tree2.parent, jnp.maximum(idx, 0))
             idx = jnp.where(alive, nxt, idx)
-            return idx, vs, alive & (idx >= 0), vis
+            return idx, stats, alive & (idx >= 0)
 
-        _, value_sum2, _, visits2 = jax.lax.while_loop(
-            bp_cond, bp_body, (cur, tree2.value_sum, active, tree2.visits)
+        _, stats2, _ = jax.lax.while_loop(
+            bp_cond, bp_body, (cur, tree2.stats, active)
         )
 
         return tree2._replace(
-            visits=visits2,
-            value_sum=value_sum2,
+            stats=stats2,
             prior=prior_arr,
             evaluated=evaluated2,
         )
@@ -372,12 +441,13 @@ def _finish(
     base = tree.children_base[:, 0]
     side = (root_state.age % 2).astype(jnp.int32)
 
-    c_visits = _take_children(tree.visits, base)
-    c_vsum = _take_children(tree.value_sum, base)
-    c_term = _take_children(tree.terminal, base)
-    c_tval = _take_children(tree.tval, base)
+    child = _take_child_block(tree.stats, base)  # [B, 7, 4]
+    c_visits = child[..., _VISITS]
+    c_vsum = child[..., _VSUM]
+    c_term = child[..., _TERM] > 0.5
+    c_tval = child[..., _TVAL]
 
-    mean = c_vsum / jnp.maximum(c_visits, 1).astype(jnp.float32)
+    mean = c_vsum / jnp.maximum(c_visits, 1.0)
     abs_val = jnp.where(c_term, c_tval, jnp.where(c_visits > 0, mean, 0.0))
     known = c_term | (c_visits > 0)
     side_val = jnp.where(known, _value_to_side(abs_val, side[:, None]), 0.0)
@@ -389,8 +459,8 @@ def _finish(
     uniform = root_valid.astype(jnp.float32) / n_valid
     values_policy = jnp.where(total > 0, side_val / jnp.where(total > 0, total, 1.0), uniform)
 
-    visit_total = jnp.maximum((c_visits * root_valid).sum(axis=-1, keepdims=True), 1)
-    visit_policy = (c_visits * root_valid).astype(jnp.float32) / visit_total
+    visit_total = jnp.maximum((c_visits * root_valid).sum(axis=-1, keepdims=True), 1.0)
+    visit_policy = (c_visits * root_valid) / visit_total
 
     greedy = _argmax_prefer_large(jnp.where(root_valid, side_val, NEG_INF))
 
@@ -400,16 +470,20 @@ def _finish(
     weights = jnp.where(root_valid, side_val**2, 0.0)
     wsum = weights.sum(axis=-1, keepdims=True)
     probs = jnp.where(wsum > 0, weights / jnp.where(wsum > 0, wsum, 1.0), uniform)
-    gumbel_free = jax.random.categorical(key, jnp.log(jnp.where(probs > 0, probs, 1e-30)))
-    sampled = gumbel_free.astype(jnp.int32)
+    sampled = jax.random.categorical(
+        key, jnp.log(jnp.where(probs > 0, probs, 1e-30))
+    ).astype(jnp.int32)
 
-    use_sampling = (root_state.age < config.num_sampling_moves) if config.num_sampling_moves else jnp.zeros((batch,), jnp.bool_)
+    use_sampling = (
+        (root_state.age < config.num_sampling_moves)
+        if config.num_sampling_moves
+        else jnp.zeros((batch,), jnp.bool_)
+    )
     move = jnp.where(use_sampling, sampled, greedy)
 
     chosen_abs = jnp.take_along_axis(abs_val, move[:, None], axis=1)[:, 0]
-    root_mean = tree.value_sum[:, 0] / jnp.maximum(tree.visits[:, 0], 1).astype(
-        jnp.float32
-    )
+    root_visits = tree.stats[:, 0, _VISITS]
+    root_mean = tree.stats[:, 0, _VSUM] / jnp.maximum(root_visits, 1.0)
 
     return SearchResults(
         move=move,

@@ -1,0 +1,72 @@
+"""Measure steady-state MCTS search throughput across batch sizes.
+
+Perf tool: identifies the sims/s sweet spot on the attached device and
+whether any batch size is anomalously slow (padding/layout effects).
+
+Usage: python scripts/sweep_search_batch.py [--sims 800] [--batches 512 1024 ...]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sims", type=int, default=800)
+    parser.add_argument(
+        "--batches", type=int, nargs="+",
+        default=[512, 600, 1024, 1200, 1280, 2048],
+    )
+    parser.add_argument("--noise", action="store_true", default=True)
+    args = parser.parse_args()
+
+    import jax
+
+    from connect4_tpu.config import MCTSConfig, NetConfig
+    from connect4_tpu.env.core import initial_state
+    from connect4_tpu.eval.evaluators import make_net_evaluator
+    from connect4_tpu.mcts.batched import make_search_fn
+    from connect4_tpu.models import init_net
+    from connect4_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    print(f"devices: {jax.devices()}", flush=True)
+
+    net, variables = init_net(
+        NetConfig(filters=64, n_fc_layers=6, n_residuals=6,
+                  compute_dtype="bfloat16"),
+        jax.random.key(0),
+    )
+    ev = make_net_evaluator(net, variables["params"], variables["batch_stats"])
+    config = MCTSConfig(
+        simulations=args.sims,
+        root_dirichlet_alpha=0.3 if args.noise else 0.0,
+        root_exploration_fraction=0.25 if args.noise else 0.0,
+        num_sampling_moves=6,
+    )
+
+    for batch in args.batches:
+        run = make_search_fn(ev, config)
+        state = initial_state((batch,))
+        t0 = time.time()
+        jax.block_until_ready(run(state, jax.random.key(0)))
+        compile_s = time.time() - t0
+        times = []
+        for i in range(2):
+            t0 = time.time()
+            jax.block_until_ready(run(state, jax.random.key(i + 1)))
+            times.append(time.time() - t0)
+        steady = min(times)
+        print(
+            f"batch {batch:>5}: compile+first {compile_s:6.1f}s  "
+            f"steady {steady:6.2f}s  {batch * args.sims / steady:>10,.0f} sims/s  "
+            f"{steady / args.sims * 1000:6.2f} ms/sim",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
