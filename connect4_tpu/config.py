@@ -64,6 +64,13 @@ class MCTSConfig:
     # (1 + 7 * simulations) so semantics never degrade; smaller values trade
     # memory for a clamped allocator (overflowing sims reuse the last block).
     max_nodes: Optional[int] = None
+    # TPU-specific: number of simulations walked concurrently per game with
+    # a virtual-visit overlay (AlphaZero-style leaf parallelism; the
+    # reference prototyped the same idea in archive/mcts_parallel.py).
+    # 1 = exact reference semantics; >1 trades exact visit statistics for
+    # a ~K-fold cut in sequential loop iterations per search. simulations
+    # must be divisible by parallel_sims.
+    parallel_sims: int = 1
 
     def tree_capacity(self) -> int:
         if self.max_nodes is not None:

@@ -42,25 +42,27 @@ class MatchPlayer:
     config: MCTSConfig
 
 
+def _search_move_fn(player: MatchPlayer):
+    """Jitted (state, key, active) -> move for one player; built once per
+    player so the switched sub-match reuses the compilation."""
+
+    def run(st, k, active):
+        res = search(player.evaluator, st, k, player.config, active)
+        return res.move
+
+    return jax.jit(run)
+
+
 def _play_sub_batch(
-    player_o: MatchPlayer,
-    player_x: MatchPlayer,
+    search_o,
+    search_x,
     boards: List[HostBoard],
     seed: int,
 ) -> np.ndarray:
     """Play every game to completion; returns o-perspective result values."""
     state = stack_boards(boards)
     key = jax.random.key(seed)
-
-    searches = {}
-    for side, player in ((Side.o, player_o), (Side.x, player_x)):
-        def make(player=player):
-            def run(st, k, active):
-                res = search(player.evaluator, st, k, player.config, active)
-                return res.move
-            return jax.jit(run)
-        searches[side] = make()
-
+    searches = {Side.o: search_o, Side.x: search_x}
     step_fn = jax.jit(step)
 
     start_age = boards[0].age
@@ -96,9 +98,11 @@ def play_match(
     set when ``switch``); returns the reference-format summary dict."""
     boards = start_boards if start_boards is not None else enumerate_start_positions(plies)
 
-    results = _play_sub_batch(player_1, player_2, boards, seed)
+    search_1 = _search_move_fn(player_1)
+    search_2 = _search_move_fn(player_2)
+    results = _play_sub_batch(search_1, search_2, boards, seed)
     if switch:
-        flipped = _play_sub_batch(player_2, player_1, boards, seed + 1)
+        flipped = _play_sub_batch(search_2, search_1, boards, seed + 1)
         results = np.concatenate([results, 1.0 - flipped])
 
     wins = int((results == 1.0).sum())

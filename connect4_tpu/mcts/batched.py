@@ -422,9 +422,281 @@ def search(
             evaluated=evaluated2,
         )
 
-    tree = jax.lax.fori_loop(0, config.simulations, simulate, tree)
+    if config.parallel_sims > 1:
+        if config.simulations % config.parallel_sims:
+            raise ValueError("simulations must be divisible by parallel_sims")
+        iterations = config.simulations // config.parallel_sims
+        step_fn = functools.partial(
+            _simulate_parallel,
+            eval_fn=eval_fn,
+            config=config,
+            root_state=root_state,
+            active=active,
+            capacity=capacity,
+        )
+        tree = jax.lax.fori_loop(0, iterations, step_fn, tree)
+    else:
+        tree = jax.lax.fori_loop(0, config.simulations, simulate, tree)
 
     return _finish(tree, root_state, sample_key, config, root_valid)
+
+
+def _overlay_scores(
+    tree: TreeArrays,
+    voverlay: jax.Array,
+    node: jax.Array,
+    board: BoardState,
+    config: MCTSConfig,
+    valid: jax.Array,
+) -> jax.Array:
+    """PUCT scores with a virtual-visit overlay (parallel walkers).
+
+    Virtual visits count as losses from the selecting node's perspective:
+    effective value = (side-oriented real value sum) / (n + overlay), and
+    the exploration denominator uses n + overlay as well. With overlay = 0
+    this reduces exactly to ``_child_scores``.
+    """
+    lead = node.shape  # [B] or [B, K]
+    base = jnp.take_along_axis(
+        tree.children_base, node.reshape(lead[0], -1), axis=1
+    ).reshape(lead)
+    side = (board.age % 2).astype(jnp.int32)
+
+    node_flat = node.reshape(lead[0], -1)
+    node_stats = jnp.take_along_axis(
+        tree.stats, node_flat[..., None], axis=1
+    ).reshape(lead + (4,))
+    node_ov = jnp.take_along_axis(voverlay, node_flat, axis=1).reshape(lead)
+    parent_visits = node_stats[..., _VISITS] + node_ov
+    log_term = jnp.log(
+        (parent_visits + jnp.float32(config.pb_c_base) + 1.0)
+        / jnp.float32(config.pb_c_base)
+    )
+    pb_c0 = (log_term + jnp.float32(config.pb_c_init)) * jnp.sqrt(parent_visits)
+
+    idx = base[..., None] + jnp.arange(WIDTH, dtype=jnp.int32)
+    idx_flat = jnp.clip(idx.reshape(lead[0], -1), 0, tree.stats.shape[1] - 1)
+    child = jnp.take_along_axis(
+        tree.stats, idx_flat[..., None], axis=1
+    ).reshape(lead + (WIDTH, 4))
+    c_ov = jnp.take_along_axis(voverlay, idx_flat, axis=1).reshape(lead + (WIDTH,))
+
+    c_visits = child[..., _VISITS]
+    c_vsum = child[..., _VSUM]
+    c_tval = child[..., _TVAL]
+    c_term = child[..., _TERM] > 0.5
+
+    n_eff = c_visits + c_ov
+    side_sum = jnp.where(side[..., None] == 0, c_vsum, c_visits - c_vsum)
+    diluted = side_sum / jnp.maximum(n_eff, 1.0)
+    term_val = _value_to_side(c_tval, side[..., None])
+    known = c_term | (c_visits > 0)
+    value_score = jnp.where(c_term, term_val, jnp.where(known, diluted, 0.0))
+
+    pb_c = pb_c0[..., None] / (n_eff + 1.0)
+    prior_row = jnp.take_along_axis(
+        tree.prior, node_flat[..., None], axis=1
+    ).reshape(lead + (WIDTH,))
+    scores = pb_c * prior_row + value_score
+    return jnp.where(valid, scores, NEG_INF)
+
+
+def _add_overlay(voverlay: jax.Array, node: jax.Array, active: jax.Array) -> jax.Array:
+    """voverlay[b, node] += 1 where active (node: [B] or [B, K])."""
+    capacity = voverlay.shape[1]
+    flat = node.reshape(node.shape[0], -1)
+    act = active.reshape(active.shape[0], -1)
+    safe = jnp.where(act, flat, capacity)
+    return voverlay.at[
+        jnp.arange(voverlay.shape[0])[:, None], safe
+    ].add(1.0, mode="drop")
+
+
+def _simulate_parallel(
+    _, tree: TreeArrays, *, eval_fn, config, root_state, active, capacity
+) -> TreeArrays:
+    """One iteration = K simulations per game walked concurrently.
+
+    Root-level moves are selected sequentially per walker (so walkers
+    diverge immediately via the overlay); deeper descent, leaf evaluation
+    and backup run in lockstep over the extra walker axis. Expansion and
+    the step into a fresh child are handled sequentially per walker to
+    keep the allocator race-free. Visit statistics deviate slightly from
+    the sequential search (virtual-visit dilution); opt-in via
+    ``MCTSConfig.parallel_sims``.
+    """
+    K = config.parallel_sims
+    batch = root_state.age.shape[0]
+    rows = jnp.arange(batch)
+
+    voverlay = jnp.zeros((batch, capacity), jnp.float32)
+    tile = lambda x: jnp.broadcast_to(
+        x[:, None, ...], (batch, K) + x.shape[1:]
+    )
+    boards = jax.tree_util.tree_map(tile, root_state)
+    nodes = jnp.zeros((batch, K), jnp.int32)
+    active_k = jnp.broadcast_to(active[:, None], (batch, K))
+
+    voverlay = _add_overlay(voverlay, nodes, active_k)
+
+    # --- lockstep descent over the walker axis ----------------------------
+    def desc_cond(carry):
+        _, _, _, descending = carry
+        return jnp.any(descending)
+
+    def desc_body(carry):
+        node, board, vov, descending = carry
+        valid = board.height < HEIGHT  # [B, K, 7]
+        scores = _overlay_scores(tree, vov, node, board, config, valid)
+        move = _argmax_prefer_large(scores)
+        base = jnp.take_along_axis(
+            tree.children_base, node.reshape(batch, -1), axis=1
+        ).reshape(batch, K)
+        child = base + move
+        board = _light_step(board, move, descending)
+        node = jnp.where(descending, child, node)
+        vov = _add_overlay(vov, node, descending)
+        has_kids = (
+            jnp.take_along_axis(
+                tree.children_base, node.reshape(batch, -1), axis=1
+            ).reshape(batch, K)
+            >= 0
+        )
+        return node, board, vov, descending & has_kids
+
+    descending0 = active_k & (
+        jnp.take_along_axis(
+            tree.children_base, nodes.reshape(batch, -1), axis=1
+        ).reshape(batch, K)
+        >= 0
+    )
+    nodes, boards, voverlay, _ = jax.lax.while_loop(
+        desc_cond, desc_body, (nodes, boards, voverlay, descending0)
+    )
+
+    # --- sequential expansion + fresh-child step per walker ---------------
+    new_nodes = []
+    new_boards = []
+    for k in range(K):
+        leaf = nodes[:, k]
+        board_k = jax.tree_util.tree_map(lambda x: x[:, k], boards)
+        act = active_k[:, k]
+
+        leaf_eval = _take_node(tree.evaluated, leaf)
+        leaf_stats = _take_node(tree.stats, leaf)
+        leaf_term = leaf_stats[..., _TERM] > 0.5
+        expandable = act & leaf_eval & ~leaf_term
+        need_alloc = expandable & (_take_node(tree.children_base, leaf) < 0)
+
+        base = jnp.minimum(tree.next_free, capacity - WIDTH)
+        children_base = _scatter_node(tree.children_base, leaf, base, need_alloc)
+        next_free = jnp.where(
+            need_alloc,
+            jnp.minimum(tree.next_free + WIDTH, capacity),
+            tree.next_free,
+        )
+        child_term, child_tval = _expand_metadata(board_k)
+        child_stats = jnp.zeros((batch, WIDTH, 4), jnp.float32)
+        child_stats = child_stats.at[..., _TVAL].set(child_tval)
+        child_stats = child_stats.at[..., _TERM].set(child_term.astype(jnp.float32))
+        slot_idx = base[:, None] + jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
+        safe_slots = jnp.where(need_alloc[:, None], slot_idx, capacity)
+        parent = tree.parent.at[rows[:, None], safe_slots].set(
+            leaf[:, None], mode="drop"
+        )
+        stats = tree.stats.at[rows[:, None], safe_slots].set(
+            child_stats, mode="drop"
+        )
+        evaluated = tree.evaluated.at[rows[:, None], safe_slots].set(
+            False, mode="drop"
+        )
+        children_base = children_base.at[rows[:, None], safe_slots].set(
+            -1, mode="drop"
+        )
+        tree = TreeArrays(
+            parent=parent,
+            children_base=children_base,
+            stats=stats,
+            prior=tree.prior,
+            evaluated=evaluated,
+            next_free=next_free,
+        )
+
+        # step into a child wherever the leaf is (now) expanded
+        valid = board_k.height < HEIGHT
+        scores = _overlay_scores(tree, voverlay, leaf, board_k, config, valid)
+        move = _argmax_prefer_large(scores)
+        cb = _take_node(tree.children_base, leaf)
+        stepped = _light_step(board_k, move, expandable)
+        cur = jnp.where(expandable, cb + move, leaf)
+        voverlay = _add_overlay(voverlay, cur, expandable)
+        new_nodes.append(cur)
+        new_boards.append(stepped)
+
+    nodes = jnp.stack(new_nodes, axis=1)
+    boards = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=1), *new_boards
+    )
+
+    # --- lockstep evaluation ---------------------------------------------
+    cur_stats = jnp.take_along_axis(
+        tree.stats, nodes.reshape(batch, -1)[..., None], axis=1
+    ).reshape(batch, K, 4)
+    cur_term = cur_stats[..., _TERM] > 0.5
+    flat_boards = jax.tree_util.tree_map(
+        lambda x: x.reshape((batch * K,) + x.shape[2:]), boards
+    )
+    value_net, prior_net = eval_fn(flat_boards)
+    value_net = value_net.reshape(batch, K)
+    prior_net = prior_net.reshape(batch, K, WIDTH)
+    value = jnp.where(
+        cur_term, cur_stats[..., _TVAL], value_net.astype(jnp.float32)
+    )
+
+    cur_valid = boards.height < HEIGHT  # [B, K, 7]
+    prior_masked = _mask_normalise(prior_net, cur_valid)
+    cur_evaluated = jnp.take_along_axis(
+        tree.evaluated, nodes.reshape(batch, -1), axis=1
+    ).reshape(batch, K)
+    store_prior = active_k & ~cur_term & ~cur_evaluated
+    safe_nodes = jnp.where(store_prior, nodes, capacity)
+    prior_arr = tree.prior.at[rows[:, None], safe_nodes].set(
+        prior_masked, mode="drop"
+    )
+    evaluated2 = tree.evaluated.at[rows[:, None], safe_nodes].set(
+        True, mode="drop"
+    )
+
+    # --- lockstep backup over the walker axis -----------------------------
+    incr = jnp.stack(
+        [
+            jnp.ones((batch, K), jnp.float32),
+            value,
+            jnp.zeros((batch, K), jnp.float32),
+            jnp.zeros((batch, K), jnp.float32),
+        ],
+        axis=-1,
+    )  # [B, K, 4]
+
+    def bp_cond(carry):
+        _, _, alive = carry
+        return jnp.any(alive)
+
+    def bp_body(carry):
+        idx, stats, alive = carry
+        safe = jnp.where(alive, idx, capacity)
+        stats = stats.at[rows[:, None], safe].add(incr, mode="drop")
+        nxt = jnp.take_along_axis(
+            tree.parent, jnp.maximum(idx, 0).reshape(batch, -1), axis=1
+        ).reshape(batch, K)
+        idx = jnp.where(alive, nxt, idx)
+        return idx, stats, alive & (idx >= 0)
+
+    _, stats2, _ = jax.lax.while_loop(
+        bp_cond, bp_body, (nodes, tree.stats, active_k)
+    )
+
+    return tree._replace(stats=stats2, prior=prior_arr, evaluated=evaluated2)
 
 
 def _finish(

@@ -21,6 +21,7 @@ def main():
         default=[512, 600, 1024, 1200, 1280, 2048],
     )
     parser.add_argument("--noise", action="store_true", default=True)
+    parser.add_argument("--parallel-sims", type=int, nargs="+", default=[1])
     args = parser.parse_args()
 
     import jax
@@ -48,9 +49,33 @@ def main():
         num_sampling_moves=6,
     )
 
+    import numpy as np
+
+    from connect4_tpu.env.convert import stack_boards
+    from connect4_tpu.env.host_board import HostBoard
+
+    def midgame_state(batch):
+        """Random ~12-ply positions: search depth there is representative
+        of the expensive middle of a generation (empty-board searches are
+        shallow and flatter)."""
+        rng = np.random.default_rng(0)
+        boards = []
+        while len(boards) < batch:
+            b = HostBoard()
+            ok = True
+            for _ in range(12):
+                valid = sorted(b.valid_moves)
+                if not valid or b.result is not None:
+                    ok = False
+                    break
+                b.make_move(int(rng.choice(valid)))
+            if ok and b.result is None:
+                boards.append(b)
+        return stack_boards(boards)
+
     for batch in args.batches:
         run = make_search_fn(ev, config)
-        state = initial_state((batch,))
+        state = midgame_state(batch)
         t0 = time.time()
         jax.block_until_ready(run(state, jax.random.key(0)))
         compile_s = time.time() - t0
@@ -61,7 +86,7 @@ def main():
             times.append(time.time() - t0)
         steady = min(times)
         print(
-            f"batch {batch:>5}: compile+first {compile_s:6.1f}s  "
+            f"batch {batch:>5} K={k}: compile+first {compile_s:6.1f}s  "
             f"steady {steady:6.2f}s  {batch * args.sims / steady:>10,.0f} sims/s  "
             f"{steady / args.sims * 1000:6.2f} ms/sim",
             flush=True,

@@ -180,6 +180,37 @@ def test_dirichlet_sampling_reproducible():
     )
 
 
+@pytest.mark.parametrize("moves,plies,best", TACTICS)
+def test_parallel_sims_tactics(moves, plies, best):
+    """The virtual-visit parallel mode must still find forced moves."""
+    board = board_from_moves(moves)
+    config = MCTSConfig(
+        simulations=7**plies + 1 + (4 - (7**plies + 1) % 4) % 4,  # pad to /4
+        pb_c_init=9999.0,
+        parallel_sims=4,
+    )
+    run = make_search_fn(centre_evaluator_batched, config)
+    res = run(stack_boards([board]), jax.random.key(0))
+    assert int(res.move[0]) in best, (board, int(res.move[0]))
+
+
+def test_parallel_sims_visit_accounting():
+    """Every walker contributes exactly one real visit per iteration:
+    root visits == 1 + simulations regardless of parallelism."""
+    for k in (1, 4, 8):
+        config = MCTSConfig(simulations=40, parallel_sims=k)
+        run = make_search_fn(centre_evaluator_batched, config)
+        res = run(stack_boards([HostBoard()]), jax.random.key(1))
+        assert int(np.asarray(res.tree.visits)[0, 0]) == 41, k
+
+
+def test_parallel_sims_rejects_indivisible():
+    config = MCTSConfig(simulations=10, parallel_sims=4)
+    run = make_search_fn(centre_evaluator_batched, config)
+    with pytest.raises(ValueError):
+        run(stack_boards([HostBoard()]), jax.random.key(0))
+
+
 def test_values_policy_is_masked_and_normalised():
     config = MCTSConfig(simulations=25)
     # column 3 full => move 3 illegal at the root
