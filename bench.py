@@ -38,6 +38,9 @@ def main():
     fast = os.environ.get("BENCH_FAST") == "1"
     n_games = int(os.environ.get("BENCH_GAMES", 128 if fast else 1200))
     sims = int(os.environ.get("BENCH_SIMS", 64 if fast else 800))
+    # AlphaZero-standard leaf parallelism (virtual-visit walkers); set
+    # BENCH_PARALLEL_SIMS=1 for the exact sequential reference semantics.
+    parallel = int(os.environ.get("BENCH_PARALLEL_SIMS", 8))
 
     from connect4_tpu.config import MCTSConfig, ModelConfig, NetConfig
     from connect4_tpu.eval.evaluators import make_net_evaluator
@@ -72,7 +75,9 @@ def main():
         root_dirichlet_alpha=0.3,
         root_exploration_fraction=0.25,
         num_sampling_moves=6,
+        parallel_sims=parallel,
     )
+    log(f"parallel_sims: {parallel}")
     evaluator = make_net_evaluator(net, state.params, state.batch_stats)
     play = make_stepwise_play_fn(evaluator, search_config, n_games)
     train_step = jax.jit(make_train_step(net, optimizer))

@@ -117,6 +117,7 @@ class AlphaZeroConfig:
     n_training_games: int = 1200
     selfplay_batch: int = 1200  # games in flight on-device per wave
     max_nodes: Optional[int] = None
+    parallel_sims: int = 1  # see MCTSConfig.parallel_sims
     seed: int = 0
     # Device mesh axis sizes for scale-out; None => use all local devices
     # in a 1-D data mesh.
@@ -134,6 +135,7 @@ class AlphaZeroConfig:
                 root_exploration_fraction=self.root_exploration_fraction,
                 num_sampling_moves=self.num_sampling_moves,
                 max_nodes=self.max_nodes,
+                parallel_sims=self.parallel_sims,
             )
         return MCTSConfig(
             simulations=self.simulations,
@@ -143,6 +145,7 @@ class AlphaZeroConfig:
             root_exploration_fraction=0.0,
             num_sampling_moves=0,
             max_nodes=self.max_nodes,
+            parallel_sims=self.parallel_sims,
         )
 
 
