@@ -41,6 +41,7 @@ def main():
     # AlphaZero-standard leaf parallelism (virtual-visit walkers); set
     # BENCH_PARALLEL_SIMS=1 for the exact sequential reference semantics.
     parallel = int(os.environ.get("BENCH_PARALLEL_SIMS", 8))
+    sims_per_call = int(os.environ.get("BENCH_SIMS_PER_CALL", 0)) or min(sims, 200)
 
     from connect4_tpu.config import MCTSConfig, ModelConfig, NetConfig
     from connect4_tpu.eval.evaluators import make_net_evaluator
@@ -77,9 +78,11 @@ def main():
         num_sampling_moves=6,
         parallel_sims=parallel,
     )
-    log(f"parallel_sims: {parallel}")
+    log(f"parallel_sims: {parallel}  sims_per_call: {sims_per_call}")
     evaluator = make_net_evaluator(net, state.params, state.batch_stats)
-    play = make_stepwise_play_fn(evaluator, search_config, n_games)
+    play = make_stepwise_play_fn(
+        evaluator, search_config, n_games, sims_per_call
+    )
     train_step = jax.jit(make_train_step(net, optimizer))
 
     # compile both programs outside the timed region (one-time cost,

@@ -118,6 +118,10 @@ class AlphaZeroConfig:
     selfplay_batch: int = 1200  # games in flight on-device per wave
     max_nodes: Optional[int] = None
     parallel_sims: int = 1  # see MCTSConfig.parallel_sims
+    # Split each search into device calls of this many simulations (None =
+    # whole search in one call). Needed on transports that drop long device
+    # calls; must divide `simulations`.
+    sims_per_call: Optional[int] = None
     seed: int = 0
     # Device mesh axis sizes for scale-out; None => use all local devices
     # in a 1-D data mesh.

@@ -266,19 +266,39 @@ def search(
     Equivalent end-to-end to ``search`` + ``MCTS.make_move``
     (``/root/reference/oinkoink/mcts.py:78-121``).
     """
+    if active is None:
+        active = jnp.ones((root_state.age.shape[0],), jnp.bool_)
+    sample_key = _sample_key(key)
+    tree = _root_init(eval_fn, root_state, key, config, active)
+    tree = _run_sims(eval_fn, tree, root_state, config, active, config.simulations)
+    root_valid = legal_moves(root_state)
+    return _finish(tree, root_state, sample_key, config, root_valid)
+
+
+def _sample_key(key: jax.Array) -> jax.Array:
+    """Key used for opening-move sampling (split identically to the noise
+    key derivation in ``_root_init`` so behaviour is reproducible)."""
+    _, sample_key = jax.random.split(key)
+    return sample_key
+
+
+def _root_init(
+    eval_fn: BatchedEvaluator,
+    root_state: BoardState,
+    key: jax.Array,
+    config: MCTSConfig,
+    active: jax.Array,
+) -> TreeArrays:
+    """Evaluate the root and mix in Dirichlet noise once (``mcts.py:100-105``)."""
     batch = root_state.age.shape[0]
     capacity = config.tree_capacity()
-    if active is None:
-        active = jnp.ones((batch,), jnp.bool_)
-
     tree = _empty_tree(batch, capacity)
 
-    # --- root evaluation + Dirichlet noise (once, pre-loop) ---------------
     root_value, root_prior_raw = eval_fn(root_state)
     root_valid = legal_moves(root_state)
     root_prior = _mask_normalise(root_prior_raw, root_valid)
 
-    noise_key, sample_key = jax.random.split(key)
+    noise_key, _ = jax.random.split(key)
     if config.root_dirichlet_alpha and config.root_exploration_fraction:
         noise = jax.random.gamma(
             noise_key, jnp.float32(config.root_dirichlet_alpha), (batch, WIDTH)
@@ -290,15 +310,54 @@ def search(
     root_stats = jnp.zeros((batch, 4), jnp.float32)
     root_stats = root_stats.at[:, _VISITS].set(1.0)
     root_stats = root_stats.at[:, _VSUM].set(root_value.astype(jnp.float32))
-    tree = tree._replace(
+    return tree._replace(
         prior=tree.prior.at[:, 0, :].set(root_prior),
         evaluated=tree.evaluated.at[:, 0].set(True),
         stats=tree.stats.at[:, 0, :].set(root_stats),
     )
 
-    rows = jnp.arange(batch)
 
-    def simulate(_, tree: TreeArrays) -> TreeArrays:
+def _run_sims(
+    eval_fn: BatchedEvaluator,
+    tree: TreeArrays,
+    root_state: BoardState,
+    config: MCTSConfig,
+    active: jax.Array,
+    n_sims: int,
+) -> TreeArrays:
+    """Advance the search by ``n_sims`` simulations (static count) —
+    chunkable so hosts can split one search across several device calls."""
+    capacity = config.tree_capacity()
+    if config.parallel_sims > 1:
+        if n_sims % config.parallel_sims:
+            raise ValueError("simulations must be divisible by parallel_sims")
+        iterations = n_sims // config.parallel_sims
+        step_fn = functools.partial(
+            _simulate_parallel,
+            eval_fn=eval_fn,
+            config=config,
+            root_state=root_state,
+            active=active,
+            capacity=capacity,
+        )
+        return jax.lax.fori_loop(0, iterations, step_fn, tree)
+    step_fn = functools.partial(
+        _simulate_exact,
+        eval_fn=eval_fn,
+        config=config,
+        root_state=root_state,
+        active=active,
+        capacity=capacity,
+    )
+    return jax.lax.fori_loop(0, n_sims, step_fn, tree)
+
+
+def _simulate_exact(
+    _, tree: TreeArrays, *, eval_fn, config, root_state, active, capacity
+) -> TreeArrays:
+    batch = root_state.age.shape[0]
+    rows = jnp.arange(batch)
+    if True:
         # --- phase 1: descend to a childless node -------------------------
         def desc_cond(carry):
             _, _, descending = carry
@@ -422,23 +481,6 @@ def search(
             evaluated=evaluated2,
         )
 
-    if config.parallel_sims > 1:
-        if config.simulations % config.parallel_sims:
-            raise ValueError("simulations must be divisible by parallel_sims")
-        iterations = config.simulations // config.parallel_sims
-        step_fn = functools.partial(
-            _simulate_parallel,
-            eval_fn=eval_fn,
-            config=config,
-            root_state=root_state,
-            active=active,
-            capacity=capacity,
-        )
-        tree = jax.lax.fori_loop(0, iterations, step_fn, tree)
-    else:
-        tree = jax.lax.fori_loop(0, config.simulations, simulate, tree)
-
-    return _finish(tree, root_state, sample_key, config, root_valid)
 
 
 def _overlay_scores(
@@ -773,5 +815,48 @@ def make_search_fn(eval_fn: BatchedEvaluator, config: MCTSConfig):
     @functools.partial(jax.jit, static_argnames=())
     def run(root_state: BoardState, key: jax.Array, active=None):
         return search(eval_fn, root_state, key, config, active)
+
+    return run
+
+
+def make_chunked_search_fn(
+    eval_fn: BatchedEvaluator, config: MCTSConfig, sims_per_call: int
+):
+    """Host-driven search split over several short device calls.
+
+    Identical results to ``make_search_fn`` (same ops, same order): the
+    root init, each ``sims_per_call`` segment, and the finish are separate
+    jitted calls with the tree carried between them. Needed because the
+    remote-TPU transport in this environment drops device calls that run
+    for more than roughly a minute; a full large-batch 800-simulation
+    search in one call can exceed that.
+    """
+    if config.simulations % sims_per_call:
+        raise ValueError("simulations must be divisible by sims_per_call")
+    n_segments = config.simulations // sims_per_call
+
+    def init(root_state, key, active):
+        return _root_init(eval_fn, root_state, key, config, active)
+
+    def segment(tree, root_state, active):
+        return _run_sims(eval_fn, tree, root_state, config, active, sims_per_call)
+
+    def finish(tree, root_state, key, active):
+        return _finish(
+            tree, root_state, _sample_key(key), config, legal_moves(root_state)
+        )
+
+    init_jit = jax.jit(init)
+    segment_jit = jax.jit(segment)
+    finish_jit = jax.jit(finish)
+
+    def run(root_state: BoardState, key: jax.Array, active=None) -> SearchResults:
+        batch = root_state.age.shape[0]
+        if active is None:
+            active = jnp.ones((batch,), jnp.bool_)
+        tree = init_jit(root_state, key, active)
+        for _ in range(n_segments):
+            tree = segment_jit(tree, root_state, active)
+        return finish_jit(tree, root_state, key, active)
 
     return run

@@ -126,7 +126,9 @@ class TrainingLoop:
     def _generate_games(self) -> None:
         cfg = self.config.search_config(training=True)
         batch = min(self.config.selfplay_batch, self.config.n_training_games)
-        play = make_stepwise_play_fn(self._evaluator(), cfg, batch)
+        play = make_stepwise_play_fn(
+            self._evaluator(), cfg, batch, self.config.sims_per_call
+        )
 
         outputs = []
         games_done = 0

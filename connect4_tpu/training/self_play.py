@@ -134,31 +134,72 @@ def make_play_fn(eval_fn: BatchedEvaluator, config: MCTSConfig, batch: int):
 
 
 def make_stepwise_play_fn(
-    eval_fn: BatchedEvaluator, config: MCTSConfig, batch: int
+    eval_fn: BatchedEvaluator,
+    config: MCTSConfig,
+    batch: int,
+    sims_per_call: int = None,
 ):
-    """Host-driven generation: one jitted device call per ply instead of a
+    """Host-driven generation: short jitted device calls instead of a
     single multi-minute device program. Produces results identical to
     ``make_play_fn`` (same op order and key threading), but each device
     call lasts seconds — robust against RPC/tunnel deadlines on remote
     TPUs — and the host loop exits as soon as every game is finished.
-    Buffers are donated, so records stay device-resident between plies."""
 
-    def ply(state, key, bufs, t):
-        return _ply_body(eval_fn, config, state, key, bufs, t)
-
+    ``sims_per_call`` additionally splits each ply's search into segments
+    (see ``make_chunked_search_fn``) so no single call exceeds the
+    transport deadline even for large batches at high simulation counts.
+    """
     # note: no buffer donation — the remote-TPU backend used in this
     # environment mishandles long-lived donated buffers, and at ~13 MB the
     # copies are immaterial
-    ply_jit = jax.jit(ply)
     finalize_jit = jax.jit(_finalize)
     init_jit = jax.jit(
         lambda: (initial_state((batch,)), _empty_buffers(batch))
     )
 
+    if sims_per_call is None:
+
+        def ply(state, key, bufs, t):
+            return _ply_body(eval_fn, config, state, key, bufs, t)
+
+        ply_jit = jax.jit(ply)
+
+        def run_ply(state, key, bufs, t):
+            return ply_jit(state, key, bufs, jnp.int32(t))
+
+    else:
+        from connect4_tpu.mcts.batched import make_chunked_search_fn
+
+        chunked = make_chunked_search_fn(eval_fn, config, sims_per_call)
+
+        def record_and_step(state, bufs, t, move, value, policy, active):
+            planes_b, moves_b, values_b, policies_b, mask_b = bufs
+            bufs = (
+                planes_b.at[:, t].set(to_planes(state, dtype=jnp.uint8)),
+                moves_b.at[:, t].set(move),
+                values_b.at[:, t].set(value),
+                policies_b.at[:, t].set(policy),
+                mask_b.at[:, t].set(active),
+            )
+            return step(state, move, active), bufs
+
+        record_jit = jax.jit(record_and_step)
+        split_jit = jax.jit(jax.random.split)
+
+        def run_ply(state, key, bufs, t):
+            key, search_key = split_jit(key)
+            active = state.result == ONGOING
+            res = chunked(state, search_key, active)
+            state, bufs = record_jit(
+                state, bufs, jnp.int32(t), res.move, res.value,
+                res.values_policy, active,
+            )
+            return state, key, bufs
+
     def run(key: jax.Array, progress=None) -> SelfPlayOutput:
         state, bufs = init_jit()
         for t in range(AREA):
-            state, key, bufs = ply_jit(state, key, bufs, jnp.int32(t))
+            state, key, bufs = run_ply(state, key, bufs, t)
             ongoing = int(np.asarray((state.result == ONGOING).sum()))
             if progress is not None:
                 progress(t, ongoing)

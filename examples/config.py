@@ -27,4 +27,6 @@ config = AlphaZeroConfig(
     n_training_games=1200,
     selfplay_batch=1200,
     n_eval=500,
+    parallel_sims=8,
+    sims_per_call=200,
 )

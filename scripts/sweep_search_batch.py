@@ -22,6 +22,8 @@ def main():
     )
     parser.add_argument("--noise", action="store_true", default=True)
     parser.add_argument("--parallel-sims", type=int, nargs="+", default=[1])
+    parser.add_argument("--sims-per-call", type=int, default=100,
+                        help="segment searches into short device calls")
     args = parser.parse_args()
 
     import jax
@@ -29,7 +31,7 @@ def main():
     from connect4_tpu.config import MCTSConfig, NetConfig
     from connect4_tpu.env.core import initial_state
     from connect4_tpu.eval.evaluators import make_net_evaluator
-    from connect4_tpu.mcts.batched import make_search_fn
+    from connect4_tpu.mcts.batched import make_chunked_search_fn
     from connect4_tpu.models import init_net
     from connect4_tpu.utils import enable_compilation_cache
 
@@ -74,7 +76,7 @@ def main():
         return stack_boards(boards)
 
     for batch in args.batches:
-        run = make_search_fn(ev, config)
+        run = make_chunked_search_fn(ev, config, args.sims_per_call)
         state = midgame_state(batch)
         t0 = time.time()
         jax.block_until_ready(run(state, jax.random.key(0)))

@@ -95,6 +95,24 @@ def test_stepwise_matches_whole_program():
         np.testing.assert_array_equal(x, y, err_msg=name)
 
 
+def test_chunked_search_matches_whole_program():
+    """Splitting each ply's search across several device calls must still
+    be bit-identical to the monolithic program."""
+    from connect4_tpu.training.self_play import make_stepwise_play_fn
+
+    config = MCTSConfig(simulations=12, num_sampling_moves=2,
+                        root_dirichlet_alpha=0.3, root_exploration_fraction=0.25)
+    whole = make_play_fn(centre_evaluator_batched, config, 4)
+    chunked = make_stepwise_play_fn(
+        centre_evaluator_batched, config, 4, sims_per_call=4
+    )
+    key = jax.random.key(5)
+    a = jax.tree_util.tree_map(np.asarray, whole(key))
+    b = jax.tree_util.tree_map(np.asarray, chunked(key))
+    for name, x, y in zip(a._fields, a, b):
+        np.testing.assert_array_equal(x, y, err_msg=name)
+
+
 def test_sampling_changes_openings():
     """With opening sampling + noise on, a batch should not play 42
     identical games."""
