@@ -42,6 +42,8 @@ def main():
     # BENCH_PARALLEL_SIMS=1 for the exact sequential reference semantics.
     parallel = int(os.environ.get("BENCH_PARALLEL_SIMS", 8))
     sims_per_call = int(os.environ.get("BENCH_SIMS_PER_CALL", 0)) or min(sims, 200)
+    # 0 = pure lockstep; N < games = compact-and-refill with an N-slot pool
+    slots = int(os.environ.get("BENCH_SLOTS", 0))
 
     from connect4_tpu.config import MCTSConfig, ModelConfig, NetConfig
     from connect4_tpu.eval.evaluators import make_net_evaluator
@@ -52,7 +54,11 @@ def main():
         make_train_step,
         set_learning_rate,
     )
-    from connect4_tpu.training.self_play import make_stepwise_play_fn, training_arrays
+    from connect4_tpu.training.self_play import (
+        make_refill_play_fn,
+        make_stepwise_play_fn,
+        training_arrays,
+    )
 
     log(f"devices: {jax.devices()}")
     log(f"workload: {n_games} games x {sims} sims")
@@ -78,11 +84,16 @@ def main():
         num_sampling_moves=6,
         parallel_sims=parallel,
     )
-    log(f"parallel_sims: {parallel}  sims_per_call: {sims_per_call}")
+    log(f"parallel_sims: {parallel}  sims_per_call: {sims_per_call}  slots: {slots or n_games}")
     evaluator = make_net_evaluator(net, state.params, state.batch_stats)
-    play = make_stepwise_play_fn(
-        evaluator, search_config, n_games, sims_per_call
-    )
+    if slots and slots < n_games:
+        play = make_refill_play_fn(
+            evaluator, search_config, slots, n_games, sims_per_call
+        )
+    else:
+        play = make_stepwise_play_fn(
+            evaluator, search_config, n_games, sims_per_call
+        )
     train_step = jax.jit(make_train_step(net, optimizer))
 
     # compile both programs outside the timed region (one-time cost,

@@ -45,7 +45,10 @@ from connect4_tpu.training.learner import (
     make_train_step,
     set_learning_rate,
 )
-from connect4_tpu.training.self_play import make_stepwise_play_fn
+from connect4_tpu.training.self_play import (
+    make_refill_play_fn,
+    make_stepwise_play_fn,
+)
 from connect4_tpu.training.stats import CombinedStats, ValueStats
 from connect4_tpu.types import DRAW, O_WIN, X_WIN
 
@@ -126,17 +129,21 @@ class TrainingLoop:
     def _generate_games(self) -> None:
         cfg = self.config.search_config(training=True)
         batch = min(self.config.selfplay_batch, self.config.n_training_games)
-        play = make_stepwise_play_fn(
-            self._evaluator(), cfg, batch, self.config.sims_per_call
-        )
-
-        outputs = []
-        games_done = 0
-        while games_done < self.config.n_training_games:
+        if batch < self.config.n_training_games:
+            # compact-and-refill: keep every slot busy until the game
+            # budget is exhausted (one pass, no padded lockstep waves)
+            play = make_refill_play_fn(
+                self._evaluator(), cfg, batch,
+                self.config.n_training_games, self.config.sims_per_call,
+            )
             self.key, sub = jax.random.split(self.key)
-            out = jax.tree_util.tree_map(np.asarray, play(sub))
-            outputs.append(out)
-            games_done += batch
+            outputs = [jax.tree_util.tree_map(np.asarray, play(sub))]
+        else:
+            play = make_stepwise_play_fn(
+                self._evaluator(), cfg, batch, self.config.sims_per_call
+            )
+            self.key, sub = jax.random.split(self.key)
+            outputs = [jax.tree_util.tree_map(np.asarray, play(sub))]
 
         n_positions = replay.append_generation(self.save_dir, self.gen, outputs)
 

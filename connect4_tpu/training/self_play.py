@@ -210,6 +210,141 @@ def make_stepwise_play_fn(
     return run
 
 
+def make_refill_play_fn(
+    eval_fn: BatchedEvaluator,
+    config: MCTSConfig,
+    slots: int,
+    total_games: int,
+    sims_per_call: int = None,
+):
+    """Compact-and-refill generation: a fixed pool of ``slots`` board slots
+    plays ``total_games`` complete games, resetting each slot to a fresh
+    game the moment its current one ends.
+
+    Pure lockstep (``make_stepwise_play_fn``) wastes 30-40% of every
+    search on already-finished rows: a batch of B games runs until its
+    *longest* game ends (up to 42 plies) while the mean game is ~15-25
+    plies. Here the batch axis is a slot pool kept near-full until the
+    game budget is exhausted, so almost every search row is useful work.
+    The reference gets the same effect for free from its work-stealing
+    thread pool (``/root/reference/oinkoink/neural/game_pool.py:36-41``,
+    ``imap_unordered`` over games); this is the fixed-shape, on-device
+    equivalent.
+
+    Per-game semantics are unchanged — each game is still the exact
+    search/record/step sequence of the lockstep path (mixed-age batches
+    are already supported: noise, sampling plies, and PUCT all key off
+    per-row ``age``). Only the PRNG stream assignment differs, so
+    outputs match lockstep in distribution rather than bit-for-bit.
+
+    Record buffers are game-indexed ``[total_games, 42, ...]`` and written
+    by scatter at ``(game_id, age)``; finished slots with no game budget
+    left idle out (``game_id = -1``).
+    """
+    if slots > total_games:
+        raise ValueError("slots must be <= total_games")
+    G, S = total_games, slots
+
+    if sims_per_call is None:
+        search_jit = jax.jit(
+            lambda state, key, active: search(eval_fn, state, key, config, active)
+        )
+
+        def run_search(state, key, active):
+            return search_jit(state, key, active)
+
+    else:
+        from connect4_tpu.mcts.batched import make_chunked_search_fn
+
+        chunked = make_chunked_search_fn(eval_fn, config, sims_per_call)
+
+        def run_search(state, key, active):
+            return chunked(state, key, active)
+
+    def init():
+        return (
+            initial_state((S,)),
+            jnp.arange(S, dtype=jnp.int32),  # game_ids
+            (
+                jnp.zeros((G, AREA, 3, HEIGHT, WIDTH), jnp.uint8),
+                jnp.zeros((G, AREA), jnp.int32),
+                jnp.zeros((G, AREA), jnp.float32),
+                jnp.zeros((G, AREA, WIDTH), jnp.float32),
+                jnp.zeros((G, AREA), jnp.bool_),
+            ),
+            jnp.zeros((G,), jnp.int8),  # final result per game
+            jnp.int32(S),  # next unstarted game id
+        )
+
+    def record_step_refill(
+        state, game_ids, bufs, results, next_game, move, value, policy, active
+    ):
+        planes_b, moves_b, values_b, policies_b, mask_b = bufs
+        gid = jnp.where(active, game_ids, G)  # OOB rows dropped
+        t = state.age  # pre-move ply index within the game
+        bufs = (
+            planes_b.at[gid, t].set(to_planes(state, dtype=jnp.uint8), mode="drop"),
+            moves_b.at[gid, t].set(move, mode="drop"),
+            values_b.at[gid, t].set(value, mode="drop"),
+            policies_b.at[gid, t].set(policy, mode="drop"),
+            mask_b.at[gid, t].set(True, mode="drop"),
+        )
+        state = step(state, move, active)
+
+        # slots whose game just ended: record the result, then either start
+        # the next unplayed game or go idle (game_id = -1)
+        done = active & (state.result != ONGOING)
+        res_gid = jnp.where(done, game_ids, G)
+        results = results.at[res_gid].set(state.result, mode="drop")
+        rank = jnp.cumsum(done.astype(jnp.int32)) - 1  # 0,1,... among done
+        new_id = next_game + rank
+        can_start = done & (new_id < G)
+        fresh = initial_state((S,))
+        reset = lambda cur, f: jnp.where(
+            can_start.reshape(can_start.shape + (1,) * (cur.ndim - 1)), f, cur
+        )
+        state = jax.tree_util.tree_map(reset, state, fresh)
+        game_ids = jnp.where(can_start, new_id, jnp.where(done, -1, game_ids))
+        next_game = jnp.minimum(next_game + done.sum(dtype=jnp.int32), G)
+        # next wave's active mask, computed on-device to spare the host
+        # loop per-wave eager dispatches (expensive on remote transports)
+        active_next = (game_ids >= 0) & (state.result == ONGOING)
+        return state, game_ids, bufs, results, next_game, active_next, active_next.sum(dtype=jnp.int32)
+
+    init_jit = jax.jit(init)
+    record_jit = jax.jit(record_step_refill)
+    split_jit = jax.jit(jax.random.split)
+
+    def run(key: jax.Array, progress=None) -> SelfPlayOutput:
+        state, game_ids, bufs, results, next_game = init_jit()
+        active = jnp.ones((S,), jnp.bool_)
+        live = S
+        for wave in range(G * AREA):  # safety bound; exits when pool drains
+            if not live:
+                break
+            key, search_key = split_jit(key)
+            res = run_search(state, search_key, active)
+            state, game_ids, bufs, results, next_game, active, live_dev = record_jit(
+                state, game_ids, bufs, results, next_game,
+                res.move, res.value, res.values_policy, active,
+            )
+            live = int(np.asarray(live_dev))
+            if progress is not None:
+                progress(wave, live)
+        planes, moves, values, policies, mask = bufs
+        return SelfPlayOutput(
+            planes=planes,
+            moves=moves,
+            move_values=values,
+            policies=policies,
+            mask=mask,
+            result=results,
+            length=mask.sum(axis=1).astype(jnp.int32),
+        )
+
+    return run
+
+
 def training_arrays(
     output: SelfPlayOutput,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -113,6 +113,55 @@ def test_chunked_search_matches_whole_program():
         np.testing.assert_array_equal(x, y, err_msg=name)
 
 
+def test_refill_plays_all_games_and_replays_consistently():
+    """Compact-and-refill with fewer slots than games must complete every
+    game, with records that replay exactly on the host oracle."""
+    from connect4_tpu.training.self_play import make_refill_play_fn
+
+    config = MCTSConfig(simulations=8, num_sampling_moves=4,
+                        root_dirichlet_alpha=0.3, root_exploration_fraction=0.25)
+    play = make_refill_play_fn(
+        centre_evaluator_batched, config, slots=3, total_games=9
+    )
+    out = jax.tree_util.tree_map(np.asarray, play(jax.random.key(3)))
+    assert out.result.shape == (9,)
+    assert (out.result != 0).all(), "all 9 games must finish"
+    assert (out.length >= 7).all() and (out.length <= 42).all()
+    for b in range(9):
+        np.testing.assert_array_equal(
+            out.mask[b], np.arange(42) < out.length[b], err_msg=f"game {b}"
+        )
+        board = HostBoard()
+        for t in range(int(out.length[b])):
+            np.testing.assert_array_equal(
+                out.planes[b, t], board.to_planes().astype(np.uint8),
+                err_msg=f"game {b} ply {t}",
+            )
+            mv = int(out.moves[b, t])
+            assert mv in board.valid_moves, f"game {b} ply {t} move {mv}"
+            board.make_move(mv)
+        assert board.result is not None
+        assert board.result.code == int(out.result[b]), f"game {b}"
+    # policies on played steps are distributions, zero elsewhere
+    sums = out.policies.sum(-1)
+    np.testing.assert_allclose(sums[out.mask], 1.0, atol=1e-5)
+    assert (sums[~out.mask] == 0.0).all()
+
+
+def test_refill_chunked_search_path():
+    """Refill with per-ply search chunking still finishes every game."""
+    from connect4_tpu.training.self_play import make_refill_play_fn
+
+    config = MCTSConfig(simulations=8)
+    play = make_refill_play_fn(
+        centre_evaluator_batched, config, slots=2, total_games=5,
+        sims_per_call=4,
+    )
+    out = jax.tree_util.tree_map(np.asarray, play(jax.random.key(7)))
+    assert (out.result != 0).all()
+    assert (out.length >= 7).all()
+
+
 def test_sampling_changes_openings():
     """With opening sampling + noise on, a batch should not play 42
     identical games."""
