@@ -111,22 +111,29 @@ class TrainingLoop:
         return pd.DataFrame()
 
     def _loop(self) -> None:
-        start_t = time.time()
-        print("Time now: {}".format(time.asctime(time.localtime(start_t))))
-        self._generate_games()
-        train_t = time.time()
-        self._train()
-        end_t = time.time()
+        from connect4_tpu.utils import PhaseTimer
+
+        timer = PhaseTimer()
+        print("Time now: {}".format(time.asctime(time.localtime())))
+        with timer.phase("generate"):
+            moves = self._generate_games()
+        with timer.phase("train"):
+            self._train()
         print(
-            "Generate games: {:.0f}s  training: {:.0f}s".format(
-                train_t - start_t, end_t - train_t
+            timer.summary(
+                {
+                    "generate": ("moves", moves),
+                }
+            )
+            + "  ({:,.0f} sims/s)".format(
+                moves * self.config.simulations / max(timer.seconds["generate"], 1e-9)
             )
         )
 
     def _evaluator(self):
         return make_net_evaluator(self.net, self.state.params, self.state.batch_stats)
 
-    def _generate_games(self) -> None:
+    def _generate_games(self) -> int:
         cfg = self.config.search_config(training=True)
         batch = min(self.config.selfplay_batch, self.config.n_training_games)
         if batch < self.config.n_training_games:
@@ -156,6 +163,7 @@ class TrainingLoop:
             )
         )
         print("{} positions created for training".format(n_positions))
+        return int(sum(o.mask.sum() for o in outputs))
 
     def _train(self) -> None:
         planes, values, policies = replay.load_window(self.save_dir, self.gen)
