@@ -42,8 +42,9 @@ def main():
     # BENCH_PARALLEL_SIMS=1 for the exact sequential reference semantics.
     parallel = int(os.environ.get("BENCH_PARALLEL_SIMS", 8))
     sims_per_call = int(os.environ.get("BENCH_SIMS_PER_CALL", 0)) or min(sims, 200)
-    # 0 = pure lockstep; N < games = compact-and-refill with an N-slot pool
-    slots = int(os.environ.get("BENCH_SLOTS", 0))
+    # compact-and-refill slot pool (slots < games keeps every search row
+    # busy); BENCH_SLOTS=0 selects the pure-lockstep path instead
+    slots = int(os.environ.get("BENCH_SLOTS", min(256, n_games)))
 
     from connect4_tpu.config import MCTSConfig, ModelConfig, NetConfig
     from connect4_tpu.eval.evaluators import make_net_evaluator
