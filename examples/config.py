@@ -25,7 +25,9 @@ config = AlphaZeroConfig(
     storage_config=StorageConfig(),  # save_dir defaults to ~/connect4_tpu_runs
     simulations=800,
     n_training_games=1200,
-    selfplay_batch=1200,
+    # slot pool smaller than the game budget selects compact-and-refill
+    # self-play (every search row stays busy; measured fastest at 256)
+    selfplay_batch=256,
     n_eval=500,
     parallel_sims=8,
     sims_per_call=200,
