@@ -43,8 +43,11 @@ def main():
     parallel = int(os.environ.get("BENCH_PARALLEL_SIMS", 8))
     sims_per_call = int(os.environ.get("BENCH_SIMS_PER_CALL", 0)) or min(sims, 200)
     # compact-and-refill slot pool (slots < games keeps every search row
-    # busy); BENCH_SLOTS=0 selects the pure-lockstep path instead
-    slots = int(os.environ.get("BENCH_SLOTS", min(256, n_games)))
+    # busy); BENCH_SLOTS=0 selects the pure-lockstep path instead. In fast
+    # mode keep slots strictly below n_games so the smoke run still
+    # exercises the refill path (the production default).
+    default_slots = min(256, n_games // 2) if fast else min(256, n_games)
+    slots = int(os.environ.get("BENCH_SLOTS", default_slots))
 
     from connect4_tpu.config import MCTSConfig, ModelConfig, NetConfig
     from connect4_tpu.eval.evaluators import make_net_evaluator
@@ -131,7 +134,7 @@ def main():
     for _ in range(model_config.n_training_epochs):
         key, perm_key = jax.random.split(key)
         order = jax.random.permutation(perm_key, n)
-        for i in range(0, n - batch_size + 1, batch_size):
+        for i in range(0, n, batch_size):
             idx = order[i : i + batch_size]
             state, metrics = train_step(
                 state,

@@ -357,129 +357,128 @@ def _simulate_exact(
 ) -> TreeArrays:
     batch = root_state.age.shape[0]
     rows = jnp.arange(batch)
-    if True:
-        # --- phase 1: descend to a childless node -------------------------
-        def desc_cond(carry):
-            _, _, descending = carry
-            return jnp.any(descending)
+    # --- phase 1: descend to a childless node -------------------------
+    def desc_cond(carry):
+        _, _, descending = carry
+        return jnp.any(descending)
 
-        def desc_body(carry):
-            node, board, descending = carry
-            valid = _descend_valid(board)
-            scores = _child_scores(tree, node, board, config, valid)
-            move = _argmax_prefer_large(scores)
-            base = _take_node(tree.children_base, node)
-            child = base + move
-            board = _light_step(board, move, descending)
-            node = jnp.where(descending, child, node)
-            has_kids = _take_node(tree.children_base, node) >= 0
-            return node, board, descending & has_kids
+    def desc_body(carry):
+        node, board, descending = carry
+        valid = _descend_valid(board)
+        scores = _child_scores(tree, node, board, config, valid)
+        move = _argmax_prefer_large(scores)
+        base = _take_node(tree.children_base, node)
+        child = base + move
+        board = _light_step(board, move, descending)
+        node = jnp.where(descending, child, node)
+        has_kids = _take_node(tree.children_base, node) >= 0
+        return node, board, descending & has_kids
 
-        node0 = jnp.zeros((batch,), jnp.int32)
-        descending0 = active & (_take_node(tree.children_base, node0) >= 0)
-        leaf, leaf_board, _ = jax.lax.while_loop(
-            desc_cond, desc_body, (node0, root_state, descending0)
-        )
+    node0 = jnp.zeros((batch,), jnp.int32)
+    descending0 = active & (_take_node(tree.children_base, node0) >= 0)
+    leaf, leaf_board, _ = jax.lax.while_loop(
+        desc_cond, desc_body, (node0, root_state, descending0)
+    )
 
-        # --- phase 2: expand evaluated non-terminal leaves ----------------
-        leaf_eval = _take_node(tree.evaluated, leaf)
-        leaf_stats = _take_node(tree.stats, leaf)
-        leaf_term = leaf_stats[..., _TERM] > 0.5
-        need_expand = active & leaf_eval & ~leaf_term
+    # --- phase 2: expand evaluated non-terminal leaves ----------------
+    leaf_eval = _take_node(tree.evaluated, leaf)
+    leaf_stats = _take_node(tree.stats, leaf)
+    leaf_term = leaf_stats[..., _TERM] > 0.5
+    need_expand = active & leaf_eval & ~leaf_term
 
-        base = jnp.minimum(tree.next_free, capacity - WIDTH)
-        children_base = _scatter_node(tree.children_base, leaf, base, need_expand)
-        next_free = jnp.where(
-            need_expand, jnp.minimum(tree.next_free + WIDTH, capacity), tree.next_free
-        )
+    base = jnp.minimum(tree.next_free, capacity - WIDTH)
+    children_base = _scatter_node(tree.children_base, leaf, base, need_expand)
+    next_free = jnp.where(
+        need_expand, jnp.minimum(tree.next_free + WIDTH, capacity), tree.next_free
+    )
 
-        # fresh children metadata: one stats row per slot + parent pointers.
-        # note: leaf_board.result is accurate ONGOING here for expanding
-        # games (their leaves are non-terminal by construction), so the full
-        # env step inside _expand_metadata computes true child results.
-        child_term, child_tval = _expand_metadata(leaf_board)
-        child_stats = jnp.zeros((batch, WIDTH, 4), jnp.float32)
-        child_stats = child_stats.at[..., _TVAL].set(child_tval)
-        child_stats = child_stats.at[..., _TERM].set(child_term.astype(jnp.float32))
+    # fresh children metadata: one stats row per slot + parent pointers.
+    # note: leaf_board.result is accurate ONGOING here for expanding
+    # games (their leaves are non-terminal by construction), so the full
+    # env step inside _expand_metadata computes true child results.
+    child_term, child_tval = _expand_metadata(leaf_board)
+    child_stats = jnp.zeros((batch, WIDTH, 4), jnp.float32)
+    child_stats = child_stats.at[..., _TVAL].set(child_tval)
+    child_stats = child_stats.at[..., _TERM].set(child_term.astype(jnp.float32))
 
-        slot_idx = base[:, None] + jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
-        safe_slots = jnp.where(need_expand[:, None], slot_idx, capacity)
-        parent = tree.parent.at[rows[:, None], safe_slots].set(
-            leaf[:, None], mode="drop"
-        )
-        stats = tree.stats.at[rows[:, None], safe_slots].set(
-            child_stats, mode="drop"
-        )
-        evaluated = tree.evaluated.at[rows[:, None], safe_slots].set(
-            False, mode="drop"
-        )
-        children_base = children_base.at[rows[:, None], safe_slots].set(
-            -1, mode="drop"
-        )
+    slot_idx = base[:, None] + jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
+    safe_slots = jnp.where(need_expand[:, None], slot_idx, capacity)
+    parent = tree.parent.at[rows[:, None], safe_slots].set(
+        leaf[:, None], mode="drop"
+    )
+    stats = tree.stats.at[rows[:, None], safe_slots].set(
+        child_stats, mode="drop"
+    )
+    evaluated = tree.evaluated.at[rows[:, None], safe_slots].set(
+        False, mode="drop"
+    )
+    children_base = children_base.at[rows[:, None], safe_slots].set(
+        -1, mode="drop"
+    )
 
-        tree2 = TreeArrays(
-            parent=parent,
-            children_base=children_base,
-            stats=stats,
-            prior=tree.prior,
-            evaluated=evaluated,
-            next_free=next_free,
-        )
+    tree2 = TreeArrays(
+        parent=parent,
+        children_base=children_base,
+        stats=stats,
+        prior=tree.prior,
+        evaluated=evaluated,
+        next_free=next_free,
+    )
 
-        # select one fresh child where we expanded
-        valid2 = _descend_valid(leaf_board)
-        scores = _child_scores(tree2, leaf, leaf_board, config, valid2)
-        move2 = _argmax_prefer_large(scores)
-        stepped = _light_step(leaf_board, move2, need_expand)
-        cur = jnp.where(need_expand, base + move2, leaf)
-        cur_board = stepped
+    # select one fresh child where we expanded
+    valid2 = _descend_valid(leaf_board)
+    scores = _child_scores(tree2, leaf, leaf_board, config, valid2)
+    move2 = _argmax_prefer_large(scores)
+    stepped = _light_step(leaf_board, move2, need_expand)
+    cur = jnp.where(need_expand, base + move2, leaf)
+    cur_board = stepped
 
-        # --- phase 3: evaluate the leaf -----------------------------------
-        cur_stats = _take_node(tree2.stats, cur)
-        cur_term = cur_stats[..., _TERM] > 0.5
-        value_net, prior_net = eval_fn(cur_board)
-        value = jnp.where(
-            cur_term, cur_stats[..., _TVAL], value_net.astype(jnp.float32)
-        )
+    # --- phase 3: evaluate the leaf -----------------------------------
+    cur_stats = _take_node(tree2.stats, cur)
+    cur_term = cur_stats[..., _TERM] > 0.5
+    value_net, prior_net = eval_fn(cur_board)
+    value = jnp.where(
+        cur_term, cur_stats[..., _TVAL], value_net.astype(jnp.float32)
+    )
 
-        # legality for prior masking: open columns (terminal leaves are
-        # excluded by cur_term; descent boards carry stale result flags)
-        cur_valid = _descend_valid(cur_board)
-        prior_masked = _mask_normalise(prior_net, cur_valid)
-        store_prior = active & ~cur_term & ~_take_node(tree2.evaluated, cur)
-        prior_arr = _scatter_node(tree2.prior, cur, prior_masked, store_prior)
-        evaluated2 = _scatter_node(
-            tree2.evaluated, cur, jnp.ones((batch,), jnp.bool_), store_prior
-        )
+    # legality for prior masking: open columns (terminal leaves are
+    # excluded by cur_term; descent boards carry stale result flags)
+    cur_valid = _descend_valid(cur_board)
+    prior_masked = _mask_normalise(prior_net, cur_valid)
+    store_prior = active & ~cur_term & ~_take_node(tree2.evaluated, cur)
+    prior_arr = _scatter_node(tree2.prior, cur, prior_masked, store_prior)
+    evaluated2 = _scatter_node(
+        tree2.evaluated, cur, jnp.ones((batch,), jnp.bool_), store_prior
+    )
 
-        # --- phase 4: backup along parent pointers ------------------------
-        incr = jnp.stack(
-            [jnp.ones((batch,), jnp.float32), value,
-             jnp.zeros((batch,), jnp.float32), jnp.zeros((batch,), jnp.float32)],
-            axis=-1,
-        )  # [B, 4] — adds 1 visit and the value, leaves tval/term alone
+    # --- phase 4: backup along parent pointers ------------------------
+    incr = jnp.stack(
+        [jnp.ones((batch,), jnp.float32), value,
+         jnp.zeros((batch,), jnp.float32), jnp.zeros((batch,), jnp.float32)],
+        axis=-1,
+    )  # [B, 4] — adds 1 visit and the value, leaves tval/term alone
 
-        def bp_cond(carry):
-            _, _, alive = carry
-            return jnp.any(alive)
+    def bp_cond(carry):
+        _, _, alive = carry
+        return jnp.any(alive)
 
-        def bp_body(carry):
-            idx, stats, alive = carry
-            safe = jnp.where(alive, idx, capacity)
-            stats = stats.at[rows, safe].add(incr, mode="drop")
-            nxt = _take_node(tree2.parent, jnp.maximum(idx, 0))
-            idx = jnp.where(alive, nxt, idx)
-            return idx, stats, alive & (idx >= 0)
+    def bp_body(carry):
+        idx, stats, alive = carry
+        safe = jnp.where(alive, idx, capacity)
+        stats = stats.at[rows, safe].add(incr, mode="drop")
+        nxt = _take_node(tree2.parent, jnp.maximum(idx, 0))
+        idx = jnp.where(alive, nxt, idx)
+        return idx, stats, alive & (idx >= 0)
 
-        _, stats2, _ = jax.lax.while_loop(
-            bp_cond, bp_body, (cur, tree2.stats, active)
-        )
+    _, stats2, _ = jax.lax.while_loop(
+        bp_cond, bp_body, (cur, tree2.stats, active)
+    )
 
-        return tree2._replace(
-            stats=stats2,
-            prior=prior_arr,
-            evaluated=evaluated2,
-        )
+    return tree2._replace(
+        stats=stats2,
+        prior=prior_arr,
+        evaluated=evaluated2,
+    )
 
 
 

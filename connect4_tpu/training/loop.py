@@ -184,7 +184,9 @@ class TrainingLoop:
         for _ in range(mc.n_training_epochs):
             self.key, perm_key = jax.random.split(self.key)
             order = jax.random.permutation(perm_key, n)
-            for i in range(0, n - batch_size + 1, batch_size):
+            # every sample trains, including the final partial batch
+            # (torch DataLoader drop_last=False, reference model.py:200-240)
+            for i in range(0, n, batch_size):
                 idx = order[i : i + batch_size]
                 self.state, metrics = self.train_step(
                     self.state,
@@ -209,6 +211,15 @@ class TrainingLoop:
             with np.load(path8) as d:
                 planes8, values8 = d["planes"], d["values"]
                 if "solved" in d:  # partially-built benchmark: use solved rows
+                    n_solved, n_total = int(d["solved"].sum()), len(values8)
+                    if n_solved < n_total:
+                        print(
+                            f"WARNING: 8-ply benchmark is partially built "
+                            f"({n_solved}/{n_total} positions solved); RMSE "
+                            f"is measured on that subset only and is NOT "
+                            f"comparable to full-set numbers",
+                            flush=True,
+                        )
                     planes8 = planes8[d["solved"]]
                     values8 = values8[d["solved"]]
                 stats = ValueStats()

@@ -10,9 +10,10 @@ Usage:
 
 import argparse
 import itertools
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -7,10 +7,11 @@ Usage: python scripts/sweep_search_batch.py [--sims 800] [--batches 512 1024 ...
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -20,7 +21,10 @@ def main():
         "--batches", type=int, nargs="+",
         default=[512, 600, 1024, 1200, 1280, 2048],
     )
-    parser.add_argument("--noise", action="store_true", default=True)
+    parser.add_argument(
+        "--noise", action=argparse.BooleanOptionalAction, default=True,
+        help="root Dirichlet noise (disable with --no-noise)",
+    )
     parser.add_argument("--parallel-sims", type=int, nargs="+", default=[1])
     parser.add_argument("--sims-per-call", type=int, default=100,
                         help="segment searches into short device calls")

@@ -5,11 +5,12 @@ Parity with ``/root/reference/oinkoink/scripts/view_games.py``.
 Usage: python scripts/view_games.py <save_dir>/<gen>/games.npz [game_index]
 """
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from connect4_tpu.training.replay import game_str  # noqa: E402
 
