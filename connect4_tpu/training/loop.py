@@ -92,15 +92,34 @@ class TrainingLoop:
 
     def run(self, generations: Optional[int] = None) -> None:
         """Run ``generations`` iterations (forever when None, like the
-        reference's ``while True`` loop, ``training.py:78-85``)."""
+        reference's ``while True`` loop, ``training.py:78-85``). Touching
+        ``<save_dir>/STOP`` stops the loop cleanly at the next generation
+        boundary (checkpoints are per-generation, so a stopped run resumes
+        exactly where it left off)."""
         end = None if generations is None else self.gen + generations
+        stop_file = os.path.join(self.save_dir, "STOP")
         while end is None or self.gen < end:
+            if os.path.exists(stop_file):
+                print(f"STOP file present; stopping before generation {self.gen}")
+                break
             print("Loop: ", self.gen)
             self._loop()
             self._evaluate()
             if self.gen % self.config.n_eval == 0:
                 self._match()
+            self._render_plots()
             self.gen += 1
+
+    def _render_plots(self) -> None:
+        """Refresh the learning-curve PNGs in ``save_dir`` every generation
+        (live-dashboard parity with the reference's visdom panels,
+        ``training.py:67-72``); plotting errors never kill training."""
+        try:
+            from connect4_tpu.training.plots import render
+
+            render(self.save_dir, verbose=False)
+        except Exception as exc:  # pragma: no cover - defensive
+            print(f"plot rendering failed: {exc}")
 
     # -- internals ---------------------------------------------------------
 

@@ -1,0 +1,41 @@
+"""Learning-curve rendering.
+
+The live-dashboard equivalent of the reference's visdom panels
+(``/root/reference/oinkoink/neural/training.py:67-72,143-145,172-174``):
+the training loop re-renders ``8ply.png`` / ``7ply.png`` / ``match_results.png``
+in ``save_dir`` after every generation, so progress is visible without
+rerunning a script (visdom itself is not in the environment).
+``scripts/plot_training_graphs.py`` wraps the same renderer for offline use.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def render(save_dir: str, verbose: bool = True) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    for name, columns in (
+        ("8ply", ["Average loss", "Accuracy"]),
+        ("7ply", ["Average loss", "Accuracy", "prior Average loss", "prior Accuracy"]),
+        ("match_results", ["return"]),
+    ):
+        path = os.path.join(save_dir, f"{name}.pkl")
+        if not os.path.exists(path):
+            continue
+        df = pd.read_pickle(path)
+        cols = [c for c in columns if c in df.columns]
+        if not cols or df.empty:
+            continue
+        ax = df[cols].plot(title=name)
+        ax.set_xlabel("generation")
+        out = os.path.join(save_dir, f"{name}.png")
+        plt.savefig(out, dpi=120, bbox_inches="tight")
+        plt.close("all")
+        if verbose:
+            print("wrote", out)
