@@ -324,7 +324,17 @@ int solve_entry(TT* tt, uint64_t* nodes, uint64_t to_move_bits,
   if ((mask & BOARD_MASK) == BOARD_MASK) return 0;
   Worker w{tt};
   if (budget) w.budget = budget;
-  int r = w.solve(to_move_bits, mask, -1, 1);
+  // Null-window dichotomy over the {-1,0,1} outcome (the weak-solve
+  // analogue of iterative null-window search): prove "win vs <= draw"
+  // with window (0,1), then "loss vs draw" with window (-1,0). Each
+  // narrow window cuts far earlier than one (-1,1) search, and the
+  // two-bound TT carries the first search's bounds into the second.
+  int r = w.solve(to_move_bits, mask, 0, 1);
+  if (r != ABORTED && r < 1) {
+    // fail-soft: r <= 0 proves value <= 0; pin down draw vs loss.
+    int r2 = w.solve(to_move_bits, mask, -1, 0);
+    r = (r2 == ABORTED) ? ABORTED : (r2 >= 0 ? 0 : -1);
+  }
   if (nodes) *nodes += w.nodes;
   return r;
 }

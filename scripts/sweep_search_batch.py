@@ -79,24 +79,30 @@ def main():
                 boards.append(b)
         return stack_boards(boards)
 
+    import dataclasses
+
     for batch in args.batches:
-        run = make_chunked_search_fn(ev, config, args.sims_per_call)
-        state = midgame_state(batch)
-        t0 = time.time()
-        jax.block_until_ready(run(state, jax.random.key(0)))
-        compile_s = time.time() - t0
-        times = []
-        for i in range(2):
+        for k in args.parallel_sims:
+            run = make_chunked_search_fn(
+                ev, dataclasses.replace(config, parallel_sims=k),
+                args.sims_per_call)
+            state = midgame_state(batch)
             t0 = time.time()
-            jax.block_until_ready(run(state, jax.random.key(i + 1)))
-            times.append(time.time() - t0)
-        steady = min(times)
-        print(
-            f"batch {batch:>5} K={k}: compile+first {compile_s:6.1f}s  "
-            f"steady {steady:6.2f}s  {batch * args.sims / steady:>10,.0f} sims/s  "
-            f"{steady / args.sims * 1000:6.2f} ms/sim",
-            flush=True,
-        )
+            jax.block_until_ready(run(state, jax.random.key(0)))
+            compile_s = time.time() - t0
+            times = []
+            for i in range(2):
+                t0 = time.time()
+                jax.block_until_ready(run(state, jax.random.key(i + 1)))
+                times.append(time.time() - t0)
+            steady = min(times)
+            print(
+                f"batch {batch:>5} K={k}: compile+first {compile_s:6.1f}s  "
+                f"steady {steady:6.2f}s  "
+                f"{batch * args.sims / steady:>10,.0f} sims/s  "
+                f"{steady / args.sims * 1000:6.2f} ms/sim",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
