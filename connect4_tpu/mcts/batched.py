@@ -819,7 +819,8 @@ def make_search_fn(eval_fn: BatchedEvaluator, config: MCTSConfig):
 
 
 def make_chunked_search_fn(
-    eval_fn: BatchedEvaluator, config: MCTSConfig, sims_per_call: int
+    eval_fn: BatchedEvaluator, config: MCTSConfig, sims_per_call: int,
+    mesh=None,
 ):
     """Host-driven search split over several short device calls.
 
@@ -829,21 +830,34 @@ def make_chunked_search_fn(
     remote-TPU transport in this environment drops device calls that run
     for more than roughly a minute; a full large-batch 800-simulation
     search in one call can exceed that.
+
+    With ``mesh`` the batch axis of every carried array (tree slabs,
+    results) is constrained to the mesh's data axis: the search is
+    row-parallel, so GSPMD partitions each call with no collectives.
     """
     if config.simulations % sims_per_call:
         raise ValueError("simulations must be divisible by sims_per_call")
     n_segments = config.simulations // sims_per_call
 
+    if mesh is not None:
+        from connect4_tpu.parallel.mesh import constrain_data
+
+        _c = lambda tree: constrain_data(tree, mesh)
+    else:
+        _c = lambda tree: tree
+
     def init(root_state, key, active):
-        return _root_init(eval_fn, root_state, key, config, active)
+        return _c(_root_init(eval_fn, root_state, key, config, active))
 
     def segment(tree, root_state, active):
-        return _run_sims(eval_fn, tree, root_state, config, active, sims_per_call)
+        return _c(
+            _run_sims(eval_fn, tree, root_state, config, active, sims_per_call)
+        )
 
     def finish(tree, root_state, key, active):
-        return _finish(
+        return _c(_finish(
             tree, root_state, _sample_key(key), config, legal_moves(root_state)
-        )
+        ))
 
     init_jit = jax.jit(init)
     segment_jit = jax.jit(segment)

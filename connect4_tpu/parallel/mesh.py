@@ -46,6 +46,17 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def constrain_data(tree, mesh: Mesh):
+    """Constrain every array leaf's leading axis to the data axis (inside
+    jit; the GSPMD partitioner propagates it through the program)."""
+
+    def leaf(x):
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -18,19 +18,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from connect4_tpu.config import MCTSConfig
 from connect4_tpu.eval.evaluators import BatchedEvaluator
 from connect4_tpu.env.core import initial_state
-from connect4_tpu.parallel.mesh import DATA_AXIS, data_sharding, replicated
+from connect4_tpu.parallel.mesh import (
+    DATA_AXIS,
+    constrain_data,
+    data_sharding,
+    replicated,
+)
 from connect4_tpu.training.learner import TrainState, make_train_step
 from connect4_tpu.training.self_play import play_games
-
-
-def constrain_data(tree, mesh: Mesh):
-    """Constrain every leaf's leading axis to the data axis."""
-
-    def leaf(x):
-        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
-        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
-
-    return jax.tree_util.tree_map(leaf, tree)
 
 
 def make_sharded_play_fn(

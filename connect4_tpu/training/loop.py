@@ -60,6 +60,17 @@ class TrainingLoop:
         self.data_dir = config.storage_config.data_dir
         os.makedirs(self.save_dir, exist_ok=True)
 
+        # Device mesh (``config.mesh_shape``): self-play shards games and
+        # training shards batch rows over the 1-D data axis — the TPU
+        # equivalent of the reference's process pool + single-GPU learner
+        # (``training.py:112-133``, SURVEY §2.5). None = single device.
+        self.mesh = None
+        self.sharded_train_step = None
+        if config.mesh_shape is not None:
+            from connect4_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(config.mesh_shape)
+
         self.net, variables = init_net(
             config.model_config.net_config, jax.random.key(config.seed)
         )
@@ -81,7 +92,23 @@ class TrainingLoop:
         else:
             self.gen = 1
 
+        if self.mesh is not None:
+            # Restored (and freshly-initialised) arrays are committed to a
+            # single device; mesh programs mix them with sharded operands,
+            # which jit rejects. Replicate them over the mesh up front.
+            from connect4_tpu.parallel.mesh import replicated
+
+            rep = replicated(self.mesh)
+            self.state = jax.device_put(self.state, rep)
+            self.key = jax.device_put(self.key, rep)
+
         self.train_step = jax.jit(make_train_step(self.net, self.optimizer))
+        if self.mesh is not None:
+            from connect4_tpu.parallel.sharded import make_sharded_train_step
+
+            self.sharded_train_step = make_sharded_train_step(
+                self.net, self.optimizer, self.mesh
+            )
         self.forward = jax.jit(make_eval_fn(self.net))
 
         self.stats_8ply = self._load_pickle("8ply.pkl")
@@ -161,12 +188,14 @@ class TrainingLoop:
             play = make_refill_play_fn(
                 self._evaluator(), cfg, batch,
                 self.config.n_training_games, self.config.sims_per_call,
+                mesh=self.mesh,
             )
             self.key, sub = jax.random.split(self.key)
             outputs = [jax.tree_util.tree_map(np.asarray, play(sub))]
         else:
             play = make_stepwise_play_fn(
-                self._evaluator(), cfg, batch, self.config.sims_per_call
+                self._evaluator(), cfg, batch, self.config.sims_per_call,
+                mesh=self.mesh,
             )
             self.key, sub = jax.random.split(self.key)
             outputs = [jax.tree_util.tree_map(np.asarray, play(sub))]
@@ -200,6 +229,10 @@ class TrainingLoop:
         values_d = jnp.asarray(values)
         policies_d = jnp.asarray(policies)
 
+        n_dev = 1
+        if self.mesh is not None:
+            n_dev = int(np.prod(list(self.mesh.shape.values())))
+
         for _ in range(mc.n_training_epochs):
             self.key, perm_key = jax.random.split(self.key)
             order = jax.random.permutation(perm_key, n)
@@ -207,12 +240,20 @@ class TrainingLoop:
             # (torch DataLoader drop_last=False, reference model.py:200-240)
             for i in range(0, n, batch_size):
                 idx = order[i : i + batch_size]
-                self.state, metrics = self.train_step(
-                    self.state,
+                batch = (
                     jnp.take(planes_d, idx, axis=0),
                     jnp.take(values_d, idx, axis=0),
                     jnp.take(policies_d, idx, axis=0),
                 )
+                # DP-shard full batches over the mesh; the (rare) tail
+                # batch that does not divide runs replicated so the math
+                # stays exactly the reference's drop_last=False pass
+                if n_dev > 1 and len(idx) % n_dev == 0:
+                    self.state, metrics = self.sharded_train_step(
+                        self.state, *batch
+                    )
+                else:
+                    self.state, metrics = self.train_step(self.state, *batch)
         ckpt.save_checkpoint(self.save_dir, self.gen, self.state, self.key)
 
     def _benchmark_path(self, name: str) -> Optional[str]:

@@ -138,6 +138,7 @@ def make_stepwise_play_fn(
     config: MCTSConfig,
     batch: int,
     sims_per_call: int = None,
+    mesh=None,
 ):
     """Host-driven generation: short jitted device calls instead of a
     single multi-minute device program. Produces results identical to
@@ -148,19 +149,25 @@ def make_stepwise_play_fn(
     ``sims_per_call`` additionally splits each ply's search into segments
     (see ``make_chunked_search_fn``) so no single call exceeds the
     transport deadline even for large batches at high simulation counts.
+
+    ``mesh`` shards the game axis over the mesh's data axis (lockstep
+    play is row-parallel, so every device call partitions with no
+    collectives and results stay bitwise identical to single-device).
     """
     # note: no buffer donation — the remote-TPU backend used in this
     # environment mishandles long-lived donated buffers, and at ~13 MB the
     # copies are immaterial
+    _c = _make_constrainer(mesh)
     finalize_jit = jax.jit(_finalize)
     init_jit = jax.jit(
-        lambda: (initial_state((batch,)), _empty_buffers(batch))
+        lambda: _c((initial_state((batch,)), _empty_buffers(batch)))
     )
 
     if sims_per_call is None:
 
         def ply(state, key, bufs, t):
-            return _ply_body(eval_fn, config, state, key, bufs, t)
+            state, key, bufs = _ply_body(eval_fn, config, state, key, bufs, t)
+            return _c(state), key, _c(bufs)
 
         ply_jit = jax.jit(ply)
 
@@ -170,7 +177,7 @@ def make_stepwise_play_fn(
     else:
         from connect4_tpu.mcts.batched import make_chunked_search_fn
 
-        chunked = make_chunked_search_fn(eval_fn, config, sims_per_call)
+        chunked = make_chunked_search_fn(eval_fn, config, sims_per_call, mesh=mesh)
 
         def record_and_step(state, bufs, t, move, value, policy, active):
             planes_b, moves_b, values_b, policies_b, mask_b = bufs
@@ -181,7 +188,7 @@ def make_stepwise_play_fn(
                 policies_b.at[:, t].set(policy),
                 mask_b.at[:, t].set(active),
             )
-            return step(state, move, active), bufs
+            return _c((step(state, move, active), bufs))
 
         record_jit = jax.jit(record_and_step)
         split_jit = jax.jit(jax.random.split)
@@ -210,12 +217,24 @@ def make_stepwise_play_fn(
     return run
 
 
+def _make_constrainer(mesh):
+    """Identity without a mesh; otherwise constrain leading axes to the
+    mesh's data axis (see ``connect4_tpu.parallel.mesh.constrain_data``)."""
+    if mesh is None:
+        return lambda tree: tree
+    from connect4_tpu.parallel.mesh import constrain_data
+
+    return lambda tree: constrain_data(tree, mesh)
+
+
 def make_refill_play_fn(
     eval_fn: BatchedEvaluator,
     config: MCTSConfig,
     slots: int,
     total_games: int,
     sims_per_call: int = None,
+    n_blocks: int = None,
+    mesh=None,
 ):
     """Compact-and-refill generation: a fixed pool of ``slots`` board slots
     plays ``total_games`` complete games, resetting each slot to a fresh
@@ -240,10 +259,30 @@ def make_refill_play_fn(
     Record buffers are game-indexed ``[total_games, 42, ...]`` and written
     by scatter at ``(game_id, age)``; finished slots with no game budget
     left idle out (``game_id = -1``).
+
+    ``n_blocks`` partitions the pool into independent blocks of
+    ``slots/n_blocks`` slots, each owning a contiguous budget of
+    ``total_games/n_blocks`` game ids (refill bookkeeping — the id
+    cumsum and buffer scatters — then stays entirely within a block).
+    With ``mesh`` (n_blocks defaults to the mesh size) every block's
+    slots, buffers and counter live on one device, so the sharded pool
+    is n independent per-device pools with zero cross-device traffic in
+    the hot path; results are bitwise identical to the same-``n_blocks``
+    single-device run.
     """
     if slots > total_games:
         raise ValueError("slots must be <= total_games")
     G, S = total_games, slots
+    if n_blocks is None:
+        n_blocks = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+    if S % n_blocks or G % n_blocks:
+        raise ValueError(
+            f"slots {S} and total_games {G} must divide into {n_blocks} blocks"
+        )
+    Sb, Gb = S // n_blocks, G // n_blocks
+    if Sb > Gb:
+        raise ValueError("slots per block must be <= games per block")
+    _c = _make_constrainer(mesh)
 
     if sims_per_call is None:
         search_jit = jax.jit(
@@ -256,15 +295,16 @@ def make_refill_play_fn(
     else:
         from connect4_tpu.mcts.batched import make_chunked_search_fn
 
-        chunked = make_chunked_search_fn(eval_fn, config, sims_per_call)
+        chunked = make_chunked_search_fn(eval_fn, config, sims_per_call, mesh=mesh)
 
         def run_search(state, key, active):
             return chunked(state, key, active)
 
     def init():
-        return (
+        rows = jnp.arange(S, dtype=jnp.int32)
+        return _c((
             initial_state((S,)),
-            jnp.arange(S, dtype=jnp.int32),  # game_ids
+            (rows // Sb) * Gb + rows % Sb,  # game_ids, block-contiguous
             (
                 jnp.zeros((G, AREA, 3, HEIGHT, WIDTH), jnp.uint8),
                 jnp.zeros((G, AREA), jnp.int32),
@@ -273,8 +313,10 @@ def make_refill_play_fn(
                 jnp.zeros((G, AREA), jnp.bool_),
             ),
             jnp.zeros((G,), jnp.int8),  # final result per game
-            jnp.int32(S),  # next unstarted game id
-        )
+            # next unstarted game id, per block
+            jnp.arange(n_blocks, dtype=jnp.int32) * Gb + Sb,
+            jnp.ones((S,), jnp.bool_),  # initial active mask
+        ))
 
     def record_step_refill(
         state, game_ids, bufs, results, next_game, move, value, policy, active
@@ -292,32 +334,38 @@ def make_refill_play_fn(
         state = step(state, move, active)
 
         # slots whose game just ended: record the result, then either start
-        # the next unplayed game or go idle (game_id = -1)
+        # the next unplayed game or go idle (game_id = -1). Rank/budget
+        # bookkeeping is per block so it never crosses a shard boundary.
         done = active & (state.result != ONGOING)
         res_gid = jnp.where(done, game_ids, G)
         results = results.at[res_gid].set(state.result, mode="drop")
-        rank = jnp.cumsum(done.astype(jnp.int32)) - 1  # 0,1,... among done
-        new_id = next_game + rank
-        can_start = done & (new_id < G)
+        done_blk = done.reshape(n_blocks, Sb)
+        rank = jnp.cumsum(done_blk.astype(jnp.int32), axis=1) - 1  # among done
+        new_id = (next_game[:, None] + rank).reshape(S)
+        block_end = (jnp.arange(n_blocks, dtype=jnp.int32) + 1) * Gb
+        can_start = done & (new_id < jnp.repeat(block_end, Sb))
         fresh = initial_state((S,))
         reset = lambda cur, f: jnp.where(
             can_start.reshape(can_start.shape + (1,) * (cur.ndim - 1)), f, cur
         )
         state = jax.tree_util.tree_map(reset, state, fresh)
         game_ids = jnp.where(can_start, new_id, jnp.where(done, -1, game_ids))
-        next_game = jnp.minimum(next_game + done.sum(dtype=jnp.int32), G)
+        next_game = jnp.minimum(
+            next_game + done_blk.sum(axis=1, dtype=jnp.int32), block_end
+        )
         # next wave's active mask, computed on-device to spare the host
         # loop per-wave eager dispatches (expensive on remote transports)
         active_next = (game_ids >= 0) & (state.result == ONGOING)
-        return state, game_ids, bufs, results, next_game, active_next, active_next.sum(dtype=jnp.int32)
+        return _c((state, game_ids, bufs, results, next_game, active_next)) + (
+            active_next.sum(dtype=jnp.int32),
+        )
 
     init_jit = jax.jit(init)
     record_jit = jax.jit(record_step_refill)
     split_jit = jax.jit(jax.random.split)
 
     def run(key: jax.Array, progress=None) -> SelfPlayOutput:
-        state, game_ids, bufs, results, next_game = init_jit()
-        active = jnp.ones((S,), jnp.bool_)
+        state, game_ids, bufs, results, next_game, active = init_jit()
         live = S
         for wave in range(G * AREA):  # safety bound; exits when pool drains
             if not live:

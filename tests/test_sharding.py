@@ -99,6 +99,88 @@ def test_dp_train_step_matches_single_device():
         )
 
 
+def test_sharded_refill_pool_matches_blocked_single_device():
+    """The production self-play path (compact-and-refill, chunked device
+    calls) sharded over 8 devices must be BITWISE identical to the same
+    blocked pool run on one device: sharding is layout, not semantics."""
+    from connect4_tpu.training.self_play import make_refill_play_fn
+
+    config = MCTSConfig(simulations=8, num_sampling_moves=4,
+                        root_dirichlet_alpha=0.3,
+                        root_exploration_fraction=0.25)
+    mesh = make_mesh((8,))
+    kwargs = dict(slots=16, total_games=24, sims_per_call=4)
+    sharded = make_refill_play_fn(
+        centre_evaluator_batched, config, mesh=mesh, **kwargs
+    )
+    blocked = make_refill_play_fn(
+        centre_evaluator_batched, config, n_blocks=8, **kwargs
+    )
+
+    key = jax.random.key(11)
+    out_s = jax.tree_util.tree_map(np.asarray, sharded(key))
+    out_b = jax.tree_util.tree_map(np.asarray, blocked(key))
+    assert (out_s.result != 0).all(), "all 24 games must finish"
+    for name, x, y in zip(out_s._fields, out_s, out_b):
+        np.testing.assert_array_equal(x, y, err_msg=name)
+
+
+def test_refill_blocked_budget_assignment():
+    """Blocked pools must play exactly their own contiguous game-id range
+    (the property that keeps sharded refill bookkeeping shard-local)."""
+    from connect4_tpu.training.self_play import make_refill_play_fn
+
+    config = MCTSConfig(simulations=4)
+    play = make_refill_play_fn(
+        centre_evaluator_batched, config, slots=4, total_games=12, n_blocks=2
+    )
+    out = jax.tree_util.tree_map(np.asarray, play(jax.random.key(2)))
+    assert (out.result != 0).all(), "all 12 games must finish"
+    assert (out.length >= 7).all()
+
+
+def test_sharded_training_loop_generation(tmp_path):
+    """TrainingLoop itself on the 8-device mesh: one tiny generation with
+    sharded refill self-play and a DP train pass (incl. uneven tail)."""
+    from connect4_tpu.config import (
+        AlphaZeroConfig,
+        ModelConfig as MC,
+        NetConfig as NC,
+        StorageConfig,
+    )
+    from connect4_tpu.training.loop import TrainingLoop
+
+    config = AlphaZeroConfig(
+        model_config=MC(
+            net_config=NC(filters=4, n_fc_layers=1, n_residuals=1),
+            batch_size=64, n_training_epochs=1,
+        ),
+        storage_config=StorageConfig(
+            save_dir=str(tmp_path), data_dir=str(tmp_path / "nodata")
+        ),
+        simulations=4,
+        sims_per_call=2,
+        n_training_games=16,
+        selfplay_batch=8,
+        num_sampling_moves=2,
+        n_eval=1,
+        mesh_shape=(8,),
+    )
+    loop = TrainingLoop(config)
+    assert loop.mesh is not None
+    loop.run(generations=1)
+    assert loop.gen == 2
+    assert len(loop.match_results) == 1
+
+    # Resume regression: Orbax-restored arrays come back committed to one
+    # device; a resumed mesh run must replicate them before mixing them
+    # with sharded self-play/training operands (jit rejects the mix).
+    resumed = TrainingLoop(config)
+    assert resumed.gen == 2
+    resumed.run(generations=1)
+    assert resumed.gen == 3
+
+
 def test_uneven_batch_rejected():
     mesh = make_mesh((8,))
     try:
