@@ -21,8 +21,11 @@ reference semantics reproduced here:
   ``num_sampling_moves`` plies sample proportionally to value^2
   (``mcts.py:78-88``, ``README.md:67-68``).
 
-All score arithmetic is float32 to match the device implementation
-bit-for-bit wherever the operation order coincides.
+All score arithmetic runs in a configurable ``dtype``: float32 (the
+default) matches the device implementation bit-for-bit wherever the
+operation order coincides; float64 matches the reference's pure-double
+Python arithmetic instead (used by ``tests/test_reference_crossval.py``
+to run this oracle head-to-head against the reference's own search).
 """
 
 from __future__ import annotations
@@ -48,7 +51,8 @@ class HostNode:
     prior: Optional[np.ndarray] = None  # own prior over moves, post-mask
     position_value: Optional[float] = None
     visits: int = 0
-    value_sum: f32 = f32(0.0)
+    value_sum: float = 0.0  # accumulates in ``dtype``
+    dtype: type = np.float32
 
     @property
     def terminal(self) -> bool:
@@ -62,16 +66,17 @@ class HostNode:
         if self.terminal:
             return self.board.result.value
         if self.visits > 0:
-            return float(self.value_sum / f32(self.visits))
+            return float(self.value_sum / self.dtype(self.visits))
         if self.evaluated:
             return self.position_value
         return None
 
-    def value_for(self, side: Side) -> f32:
+    def value_for(self, side: Side):
+        f = self.dtype
         av = self.absolute_value()
         if av is None:
-            return f32(0.0)  # unknown => assume lost
-        return f32(av) if side == Side.o else f32(1.0) - f32(av)
+            return f(0.0)  # unknown => assume lost
+        return f(av) if side == Side.o else f(1.0) - f(av)
 
 
 class HostMCTS:
@@ -82,15 +87,17 @@ class HostMCTS:
         config: MCTSConfig,
         evaluate_fn: Callable[[HostBoard], Tuple[float, np.ndarray]],
         rng: Optional[np.random.Generator] = None,
+        dtype: type = np.float32,
     ):
         self.config = config
         self.evaluate_fn = evaluate_fn
         self.rng = rng or np.random.default_rng(0)
+        self.f = dtype
 
     # -- public API --------------------------------------------------------
 
     def search(self, board: HostBoard) -> HostNode:
-        root = HostNode(board.copy())
+        root = HostNode(board.copy(), dtype=self.f)
         self._evaluate(root)
         root.prior = self._add_root_noise(root.prior, root.board.valid_moves)
         for _ in range(self.config.simulations):
@@ -105,7 +112,7 @@ class HostMCTS:
             walker = node.parent
             while walker is not None:
                 walker.visits += 1
-                walker.value_sum += f32(value)
+                walker.value_sum += self.f(value)
                 walker = walker.parent
         return root
 
@@ -124,7 +131,7 @@ class HostMCTS:
         """The value-based policy target
         (``/root/reference/oinkoink/tree.py:104-109,139-147``)."""
         side = root.board.player_to_move
-        policy = np.zeros(WIDTH, dtype=np.float32)
+        policy = np.zeros(WIDTH, dtype=self.f)
         for move, child in root.children.items():
             policy[move] = child.value_for(side)
         total = policy.sum()
@@ -152,30 +159,33 @@ class HostMCTS:
             value = node.board.result.value
         else:
             value, prior = self.evaluate_fn(node.board)
-            prior = _mask_normalise(np.asarray(prior, dtype=np.float32),
+            prior = _mask_normalise(np.asarray(prior, dtype=self.f),
                                     node.board.valid_moves)
             node.prior = prior
             node.position_value = float(value)
         node.visits += 1
-        node.value_sum += f32(value)
+        node.value_sum += self.f(value)
         return value
 
     def _expand(self, node: HostNode) -> None:
         for move in sorted(node.board.valid_moves):
             child_board = node.board.copy()
             child_board.make_move(move)
-            node.children[move] = HostNode(child_board, parent=node, move=move)
+            node.children[move] = HostNode(
+                child_board, parent=node, move=move, dtype=node.dtype
+            )
 
     def _select_child(self, node: HostNode) -> HostNode:
         cfg = self.config
+        f = self.f
         side = node.board.player_to_move
         pv = node.visits
-        log_term = f32(np.log(f32((f32(pv) + f32(cfg.pb_c_base) + f32(1.0)) / f32(cfg.pb_c_base))))
-        pb_c0 = (log_term + f32(cfg.pb_c_init)) * f32(np.sqrt(f32(pv)))
+        log_term = f(np.log(f((f(pv) + f(cfg.pb_c_base) + f(1.0)) / f(cfg.pb_c_base))))
+        pb_c0 = (log_term + f(cfg.pb_c_init)) * f(np.sqrt(f(pv)))
         best_score, best_move = -np.inf, -1
         for move in sorted(node.children):
             child = node.children[move]
-            pb_c = pb_c0 / f32(child.visits + 1)
+            pb_c = pb_c0 / f(child.visits + 1)
             score = pb_c * node.prior[move] + child.value_for(side)
             if score >= best_score:  # >= biases ties toward the larger move
                 best_score, best_move = score, move
@@ -202,11 +212,11 @@ class HostMCTS:
         cfg = self.config
         if cfg.root_dirichlet_alpha and cfg.root_exploration_fraction:
             noise = self.rng.gamma(cfg.root_dirichlet_alpha, 1.0, WIDTH).astype(
-                np.float32
+                self.f
             )
             noise = _mask_normalise(noise, valid_moves)
-            frac = f32(cfg.root_exploration_fraction)
-            prior = prior * (f32(1.0) - frac) + noise * frac
+            frac = self.f(cfg.root_exploration_fraction)
+            prior = prior * (self.f(1.0) - frac) + noise * frac
         return prior
 
 
