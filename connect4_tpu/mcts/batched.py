@@ -553,18 +553,18 @@ def _add_overlay(voverlay: jax.Array, node: jax.Array, active: jax.Array) -> jax
     ].add(1.0, mode="drop")
 
 
-def _simulate_parallel(
+def _simulate_parallel_reference(
     _, tree: TreeArrays, *, eval_fn, config, root_state, active, capacity
 ) -> TreeArrays:
-    """One iteration = K simulations per game walked concurrently.
+    """Direct lockstep-walker formulation of one parallel iteration
+    (K simulations per game concurrently, virtual-visit overlay).
 
-    Root-level moves are selected sequentially per walker (so walkers
-    diverge immediately via the overlay); deeper descent, leaf evaluation
-    and backup run in lockstep over the extra walker axis. Expansion and
-    the step into a fresh child are handled sequentially per walker to
-    keep the allocator race-free. Visit statistics deviate slightly from
-    the sequential search (virtual-visit dilution); opt-in via
-    ``MCTSConfig.parallel_sims``.
+    Superseded by ``_simulate_parallel`` below, which exploits the fact
+    that lockstep walkers share their entire descent path: this version
+    walks a redundant [B, K] walker axis through descent, expansion
+    metadata and backup. Retained verbatim as the semantic golden
+    reference for the optimised implementation (tests/test_mcts.py
+    asserts equivalence); not used by any production path.
     """
     K = config.parallel_sims
     batch = root_state.age.shape[0]
@@ -738,6 +738,198 @@ def _simulate_parallel(
     )
 
     return tree._replace(stats=stats2, prior=prior_arr, evaluated=evaluated2)
+
+
+def _add_overlay_k(
+    voverlay: jax.Array, node: jax.Array, active: jax.Array, k: float
+) -> jax.Array:
+    """voverlay[b, node[b]] += k where active — the collapsed form of K
+    lockstep walkers each adding 1 at the same node."""
+    capacity = voverlay.shape[1]
+    safe = jnp.where(active, node, capacity)
+    return voverlay.at[jnp.arange(voverlay.shape[0]), safe].add(
+        jnp.float32(k), mode="drop"
+    )
+
+
+def _simulate_parallel(
+    _, tree: TreeArrays, *, eval_fn, config, root_state, active, capacity
+) -> TreeArrays:
+    """One iteration = K simulations per game, walker-deduplicated.
+
+    Lockstep walkers are at the SAME node throughout descent (they see
+    identical scores and pick identical moves; the virtual-visit overlay
+    only separates them at the leaf fan-out). So instead of dragging a
+    [B, K] walker axis through the tree (``_simulate_parallel_reference``),
+    this walks the descent ONCE per game with a xK overlay, expands the
+    leaf once, fans K walkers out over the leaf's children sequentially
+    (each seeing the previous walkers' overlay — the only point where
+    walkers genuinely diverge), evaluates the K fan-out boards in one
+    batched forward, and backs up with a single shared-path walk carrying
+    the combined (K visits, sum of values) increment plus one add per
+    fan-out child. K-fold less gather/scatter traffic in the two
+    depth-bound loops that dominate search time, with the same semantics
+    (equivalence vs the reference formulation is tested; float32 sums can
+    differ only in accumulation order).
+    """
+    K = config.parallel_sims
+    batch = root_state.age.shape[0]
+    rows = jnp.arange(batch)
+
+    voverlay = jnp.zeros((batch, capacity), jnp.float32)
+    node0 = jnp.zeros((batch,), jnp.int32)
+    voverlay = _add_overlay_k(voverlay, node0, active, K)  # K walkers at root
+
+    # --- single descent per game (identical for all K walkers) ------------
+    def desc_cond(carry):
+        _, _, _, descending = carry
+        return jnp.any(descending)
+
+    def desc_body(carry):
+        node, board, vov, descending = carry
+        valid = _descend_valid(board)
+        scores = _overlay_scores(tree, vov, node, board, config, valid)
+        move = _argmax_prefer_large(scores)
+        base = _take_node(tree.children_base, node)
+        child = base + move
+        board = _light_step(board, move, descending)
+        node = jnp.where(descending, child, node)
+        vov = _add_overlay_k(vov, node, descending, K)
+        has_kids = _take_node(tree.children_base, node) >= 0
+        return node, board, vov, descending & has_kids
+
+    descending0 = active & (_take_node(tree.children_base, node0) >= 0)
+    leaf, leaf_board, voverlay, _ = jax.lax.while_loop(
+        desc_cond, desc_body, (node0, root_state, voverlay, descending0)
+    )
+
+    # --- single expansion of the (shared) leaf ----------------------------
+    leaf_eval = _take_node(tree.evaluated, leaf)
+    leaf_term = _take_node(tree.stats, leaf)[..., _TERM] > 0.5
+    expandable = active & leaf_eval & ~leaf_term
+    need_alloc = expandable & (_take_node(tree.children_base, leaf) < 0)
+
+    base = jnp.minimum(tree.next_free, capacity - WIDTH)
+    children_base = _scatter_node(tree.children_base, leaf, base, need_alloc)
+    next_free = jnp.where(
+        need_alloc, jnp.minimum(tree.next_free + WIDTH, capacity), tree.next_free
+    )
+    child_term, child_tval = _expand_metadata(leaf_board)
+    child_stats = jnp.zeros((batch, WIDTH, 4), jnp.float32)
+    child_stats = child_stats.at[..., _TVAL].set(child_tval)
+    child_stats = child_stats.at[..., _TERM].set(child_term.astype(jnp.float32))
+    slot_idx = base[:, None] + jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
+    safe_slots = jnp.where(need_alloc[:, None], slot_idx, capacity)
+    parent = tree.parent.at[rows[:, None], safe_slots].set(
+        leaf[:, None], mode="drop"
+    )
+    stats = tree.stats.at[rows[:, None], safe_slots].set(child_stats, mode="drop")
+    evaluated = tree.evaluated.at[rows[:, None], safe_slots].set(
+        False, mode="drop"
+    )
+    children_base = children_base.at[rows[:, None], safe_slots].set(
+        -1, mode="drop"
+    )
+    tree2 = TreeArrays(
+        parent=parent,
+        children_base=children_base,
+        stats=stats,
+        prior=tree.prior,
+        evaluated=evaluated,
+        next_free=next_free,
+    )
+
+    # --- sequential K-way fan-out over the leaf's children ----------------
+    new_nodes, new_boards = [], []
+    for _k in range(K):
+        valid = _descend_valid(leaf_board)
+        scores = _overlay_scores(tree2, voverlay, leaf, leaf_board, config, valid)
+        move = _argmax_prefer_large(scores)
+        cb = _take_node(tree2.children_base, leaf)
+        stepped = _light_step(leaf_board, move, expandable)
+        cur = jnp.where(expandable, cb + move, leaf)
+        voverlay = _add_overlay(voverlay, cur, expandable)
+        new_nodes.append(cur)
+        new_boards.append(stepped)
+    nodes = jnp.stack(new_nodes, axis=1)  # [B, K]
+    boards = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=1), *new_boards
+    )
+    active_k = jnp.broadcast_to(active[:, None], (batch, K))
+
+    # --- lockstep evaluation (as in the reference formulation) ------------
+    cur_stats = jnp.take_along_axis(
+        tree2.stats, nodes.reshape(batch, -1)[..., None], axis=1
+    ).reshape(batch, K, 4)
+    cur_term = cur_stats[..., _TERM] > 0.5
+    flat_boards = jax.tree_util.tree_map(
+        lambda x: x.reshape((batch * K,) + x.shape[2:]), boards
+    )
+    value_net, prior_net = eval_fn(flat_boards)
+    value_net = value_net.reshape(batch, K)
+    prior_net = prior_net.reshape(batch, K, WIDTH)
+    value = jnp.where(
+        cur_term, cur_stats[..., _TVAL], value_net.astype(jnp.float32)
+    )
+
+    cur_valid = boards.height < HEIGHT  # [B, K, 7]
+    prior_masked = _mask_normalise(prior_net, cur_valid)
+    cur_evaluated = jnp.take_along_axis(
+        tree2.evaluated, nodes.reshape(batch, -1), axis=1
+    ).reshape(batch, K)
+    store_prior = active_k & ~cur_term & ~cur_evaluated
+    safe_nodes = jnp.where(store_prior, nodes, capacity)
+    prior_arr = tree2.prior.at[rows[:, None], safe_nodes].set(
+        prior_masked, mode="drop"
+    )
+    evaluated2 = tree2.evaluated.at[rows[:, None], safe_nodes].set(
+        True, mode="drop"
+    )
+
+    # --- backup: per-child adds + ONE shared-path walk --------------------
+    # each fan-out child receives its own (1 visit, value); every node on
+    # the shared root..leaf path receives the combined (K, sum of values)
+    child_incr = jnp.stack(
+        [
+            jnp.ones((batch, K), jnp.float32),
+            value,
+            jnp.zeros((batch, K), jnp.float32),
+            jnp.zeros((batch, K), jnp.float32),
+        ],
+        axis=-1,
+    )
+    fan_mask = expandable[:, None] & active_k
+    safe_children = jnp.where(fan_mask, nodes, capacity)
+    stats_b = tree2.stats.at[rows[:, None], safe_children].add(
+        child_incr, mode="drop"
+    )
+
+    vsum = jnp.sum(jnp.where(active_k, value, 0.0), axis=1)
+    path_incr = jnp.stack(
+        [
+            jnp.where(active, jnp.float32(K), 0.0),
+            vsum,
+            jnp.zeros((batch,), jnp.float32),
+            jnp.zeros((batch,), jnp.float32),
+        ],
+        axis=-1,
+    )  # [B, 4]
+
+    def bp_cond(carry):
+        _, _, alive = carry
+        return jnp.any(alive)
+
+    def bp_body(carry):
+        idx, stats_c, alive = carry
+        safe = jnp.where(alive, idx, capacity)
+        stats_c = stats_c.at[rows, safe].add(path_incr, mode="drop")
+        nxt = _take_node(tree2.parent, jnp.maximum(idx, 0))
+        idx = jnp.where(alive, nxt, idx)
+        return idx, stats_c, alive & (idx >= 0)
+
+    _, stats2, _ = jax.lax.while_loop(bp_cond, bp_body, (leaf, stats_b, active))
+
+    return tree2._replace(stats=stats2, prior=prior_arr, evaluated=evaluated2)
 
 
 def _finish(

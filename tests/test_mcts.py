@@ -204,6 +204,64 @@ def test_parallel_sims_visit_accounting():
         assert int(np.asarray(res.tree.visits)[0, 0]) == 41, k
 
 
+@pytest.mark.parametrize("k", [2, 4, 8])
+def test_parallel_dedup_matches_lockstep_reference(k):
+    """The walker-deduplicated parallel iteration must reproduce the
+    direct [B, K] lockstep-walker formulation node for node: identical
+    tree topology and visit counts, value sums equal up to float32
+    accumulation order."""
+    import functools
+
+    from connect4_tpu.mcts.batched import (
+        _root_init,
+        _simulate_parallel,
+        _simulate_parallel_reference,
+    )
+
+    config = MCTSConfig(simulations=48, parallel_sims=k)
+    boards = [board_from_moves(m) for m in POSITIONS]
+    state = stack_boards(boards)
+    active = jnp.ones((len(boards),), jnp.bool_)
+    capacity = config.tree_capacity()
+
+    kwargs = dict(
+        eval_fn=centre_evaluator_batched,
+        config=config,
+        root_state=state,
+        active=active,
+        capacity=capacity,
+    )
+    n_iters = config.simulations // k
+
+    t_new = _root_init(centre_evaluator_batched, state, jax.random.key(3), config, active)
+    t_ref = jax.tree_util.tree_map(jnp.array, t_new)
+    step_new = jax.jit(functools.partial(_simulate_parallel, 0, **kwargs))
+    step_ref = jax.jit(functools.partial(_simulate_parallel_reference, 0, **kwargs))
+    for _ in range(n_iters):
+        t_new = step_new(t_new)
+        t_ref = step_ref(t_ref)
+
+    np.testing.assert_array_equal(np.asarray(t_new.parent), np.asarray(t_ref.parent))
+    np.testing.assert_array_equal(
+        np.asarray(t_new.children_base), np.asarray(t_ref.children_base)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t_new.evaluated), np.asarray(t_ref.evaluated)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t_new.next_free), np.asarray(t_ref.next_free)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t_new.visits), np.asarray(t_ref.visits)
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_new.stats), np.asarray(t_ref.stats), rtol=0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_new.prior), np.asarray(t_ref.prior), rtol=0, atol=1e-6
+    )
+
+
 def test_parallel_sims_rejects_indivisible():
     config = MCTSConfig(simulations=10, parallel_sims=4)
     run = make_search_fn(centre_evaluator_batched, config)
