@@ -740,16 +740,52 @@ def _simulate_parallel_reference(
     return tree._replace(stats=stats2, prior=prior_arr, evaluated=evaluated2)
 
 
-def _add_overlay_k(
-    voverlay: jax.Array, node: jax.Array, active: jax.Array, k: float
+def _const_overlay_scores(
+    tree: TreeArrays,
+    node: jax.Array,
+    board: BoardState,
+    config: MCTSConfig,
+    valid: jax.Array,
+    k: int,
+    c_ov: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """voverlay[b, node[b]] += k where active — the collapsed form of K
-    lockstep walkers each adding 1 at the same node."""
-    capacity = voverlay.shape[1]
-    safe = jnp.where(active, node, capacity)
-    return voverlay.at[jnp.arange(voverlay.shape[0]), safe].add(
-        jnp.float32(k), mode="drop"
+    """``_overlay_scores`` with the overlay CONSTANT-FOLDED for the
+    walker-deduplicated iteration: every node on the descent path holds
+    exactly K virtual visits (all K lockstep walkers stepped into it) and
+    the children of the current node hold zero (a descent never revisits
+    a node within an iteration), so no [B, capacity] overlay slab is
+    needed — the selecting node's overlay is the constant ``k`` and the
+    child overlay is 0 during descent, or the local [B, 7] fan-out
+    counter ``c_ov`` at the leaf. Operation order matches
+    ``_overlay_scores`` exactly (bitwise-equal scores)."""
+    base = _take_node(tree.children_base, node)
+    side = (board.age % 2).astype(jnp.int32)
+
+    node_stats = _take_node(tree.stats, node)  # [B, 4]
+    parent_visits = node_stats[..., _VISITS] + jnp.float32(k)
+    log_term = jnp.log(
+        (parent_visits + jnp.float32(config.pb_c_base) + 1.0)
+        / jnp.float32(config.pb_c_base)
     )
+    pb_c0 = (log_term + jnp.float32(config.pb_c_init)) * jnp.sqrt(parent_visits)
+
+    child = _take_child_block(tree.stats, base)  # [B, 7, 4]
+    c_visits = child[..., _VISITS]
+    c_vsum = child[..., _VSUM]
+    c_tval = child[..., _TVAL]
+    c_term = child[..., _TERM] > 0.5
+
+    n_eff = c_visits if c_ov is None else c_visits + c_ov
+    side_sum = jnp.where(side[..., None] == 0, c_vsum, c_visits - c_vsum)
+    diluted = side_sum / jnp.maximum(n_eff, 1.0)
+    term_val = _value_to_side(c_tval, side[..., None])
+    known = c_term | (c_visits > 0)
+    value_score = jnp.where(c_term, term_val, jnp.where(known, diluted, 0.0))
+
+    pb_c = pb_c0[..., None] / (n_eff + 1.0)
+    prior_row = _take_node(tree.prior, node)  # [B, 7]
+    scores = pb_c * prior_row + value_score
+    return jnp.where(valid, scores, NEG_INF)
 
 
 def _simulate_parallel(
@@ -767,7 +803,10 @@ def _simulate_parallel(
     walkers genuinely diverge), evaluates the K fan-out boards in one
     batched forward, and backs up with a single shared-path walk carrying
     the combined (K visits, sum of values) increment plus one add per
-    fan-out child. K-fold less gather/scatter traffic in the two
+    fan-out child. The [B, capacity] virtual-visit slab disappears
+    entirely: path overlay is the constant K and child overlay is zero
+    during descent (``_const_overlay_scores``), leaving only a [B, 7]
+    fan-out counter. K-fold less gather/scatter traffic in the two
     depth-bound loops that dominate search time, with the same semantics
     (equivalence vs the reference formulation is tested; float32 sums can
     differ only in accumulation order).
@@ -775,32 +814,28 @@ def _simulate_parallel(
     K = config.parallel_sims
     batch = root_state.age.shape[0]
     rows = jnp.arange(batch)
-
-    voverlay = jnp.zeros((batch, capacity), jnp.float32)
     node0 = jnp.zeros((batch,), jnp.int32)
-    voverlay = _add_overlay_k(voverlay, node0, active, K)  # K walkers at root
 
     # --- single descent per game (identical for all K walkers) ------------
     def desc_cond(carry):
-        _, _, _, descending = carry
+        _, _, descending = carry
         return jnp.any(descending)
 
     def desc_body(carry):
-        node, board, vov, descending = carry
+        node, board, descending = carry
         valid = _descend_valid(board)
-        scores = _overlay_scores(tree, vov, node, board, config, valid)
+        scores = _const_overlay_scores(tree, node, board, config, valid, K)
         move = _argmax_prefer_large(scores)
         base = _take_node(tree.children_base, node)
         child = base + move
         board = _light_step(board, move, descending)
         node = jnp.where(descending, child, node)
-        vov = _add_overlay_k(vov, node, descending, K)
         has_kids = _take_node(tree.children_base, node) >= 0
-        return node, board, vov, descending & has_kids
+        return node, board, descending & has_kids
 
     descending0 = active & (_take_node(tree.children_base, node0) >= 0)
-    leaf, leaf_board, voverlay, _ = jax.lax.while_loop(
-        desc_cond, desc_body, (node0, root_state, voverlay, descending0)
+    leaf, leaf_board, _ = jax.lax.while_loop(
+        desc_cond, desc_body, (node0, root_state, descending0)
     )
 
     # --- single expansion of the (shared) leaf ----------------------------
@@ -840,15 +875,23 @@ def _simulate_parallel(
     )
 
     # --- sequential K-way fan-out over the leaf's children ----------------
+    # each walker sees the previous walkers' virtual visits on the leaf's
+    # child block via a local [B, 7] counter (the only overlay state left)
     new_nodes, new_boards = [], []
+    fan_ov = jnp.zeros((batch, WIDTH), jnp.float32)
+    move_iota = jnp.arange(WIDTH, dtype=jnp.int32)
     for _k in range(K):
         valid = _descend_valid(leaf_board)
-        scores = _overlay_scores(tree2, voverlay, leaf, leaf_board, config, valid)
+        scores = _const_overlay_scores(
+            tree2, leaf, leaf_board, config, valid, K, fan_ov
+        )
         move = _argmax_prefer_large(scores)
         cb = _take_node(tree2.children_base, leaf)
         stepped = _light_step(leaf_board, move, expandable)
         cur = jnp.where(expandable, cb + move, leaf)
-        voverlay = _add_overlay(voverlay, cur, expandable)
+        fan_ov = fan_ov + (
+            (move_iota == move[:, None]) & expandable[:, None]
+        ).astype(jnp.float32)
         new_nodes.append(cur)
         new_boards.append(stepped)
     nodes = jnp.stack(new_nodes, axis=1)  # [B, K]
