@@ -253,6 +253,25 @@ def build_8ply(
     return out_path
 
 
+def _load_8ply_table(table_path: str) -> dict:
+    """Child-value lookup table from a build_8ply output (mirror-expanded).
+
+    A partially-built 8-ply set stores placeholder 0.5 values for unsolved
+    rows; only genuinely solved entries may seed 7-ply labels, so rows are
+    filtered on the ``solved`` mask when present."""
+    table = {}
+    if not os.path.exists(table_path):
+        return table
+    with np.load(table_path) as d:
+        ok = d["solved"] if "solved" in d else np.ones(len(d["values"]), bool)
+        for o_b, x_b, v, good in zip(d["o_bits"], d["x_bits"], d["values"], ok):
+            if not good:
+                continue
+            table[(int(o_b), int(x_b))] = float(v)
+            table[(_mirror(int(o_b)), _mirror(int(x_b)))] = float(v)
+    return table
+
+
 def build_7ply(
     out_path: str,
     limit: Optional[int] = None,
@@ -288,17 +307,38 @@ def build_7ply(
     # lookups enormously (the reference used the UCI table the same way,
     # ``generate_7ply.py:59-83``); children outside the table are solved
     # directly.
-    table = {}
     table_path = os.path.join(os.path.dirname(out_path), "connect4dataset_8ply.npz")
-    if os.path.exists(table_path):
-        with np.load(table_path) as d:
-            for o_b, x_b, v in zip(d["o_bits"], d["x_bits"], d["values"]):
-                table[(int(o_b), int(x_b))] = float(v)
-                table[(_mirror(int(o_b)), _mirror(int(x_b)))] = float(v)
-        if verbose:
-            print(f"7ply: loaded {len(table)} 8-ply table entries", flush=True)
+    table = _load_8ply_table(table_path)
+    if table and verbose:
+        print(f"7ply: loaded {len(table)} 8-ply table entries", flush=True)
 
-    solver = ExactSolver(tt_size)
+    o_bits = np.array([p[0] for p in ips], dtype=np.uint64)
+    x_bits = np.array([p[1] for p in ips], dtype=np.uint64)
+    planes = bits_to_planes(o_bits, x_bits, age_parity_o=False)
+
+    def emit() -> None:
+        """Write the dataset with whatever is resolved so far; consumers
+        filter on ``solved`` (mirrors build_8ply's partial emission)."""
+        np.savez_compressed(
+            out_path,
+            planes=planes,
+            values=np.nan_to_num(values, nan=0.5),
+            solved=~np.isnan(values),
+            policies=policies,
+            o_bits=o_bits,
+            x_bits=x_bits,
+        )
+
+    # the transposition table is a multi-GB allocation; skip it entirely
+    # when every child resolves from the 8-ply table (common in tests and
+    # in reruns over an already-complete table)
+    solver_box = []
+
+    def get_solver():
+        if not solver_box:
+            solver_box.append(ExactSolver(tt_size))
+        return solver_box[0]
+
     t0 = time.time()
     pass1_budget = 2_000_000
 
@@ -327,7 +367,7 @@ def build_7ply(
                     pending.append((o, nx))
                     cols.append(c)
         if pending:
-            vals = _solve_bits(solver, pending, True, n_threads, budget=budget)
+            vals = _solve_bits(get_solver(), pending, True, n_threads, budget=budget)
             for c, v in zip(cols, vals):
                 child_vals[c] = v
         if np.isnan(child_vals[exists]).any():
@@ -345,6 +385,8 @@ def build_7ply(
                 deferred.append(j)
         done = min(i + chunk, len(ips))
         np.savez(partial, values=values, policies=policies, done=np.int64(done))
+        if (i // chunk) % 20 == 19:
+            emit()
         if verbose:
             rate = (done - start) / max(time.time() - t0, 1e-9)
             print(
@@ -356,6 +398,7 @@ def build_7ply(
     if start >= len(ips):  # resumed directly into pass 2
         deferred = [int(i) for i in np.nonzero(np.isnan(values))[0]]
 
+    emit()
     t0 = time.time()
     for k, i in enumerate(deferred):
         resolve_ip(i, 0)
@@ -364,6 +407,8 @@ def build_7ply(
                 partial, values=values, policies=policies,
                 done=np.int64(len(ips)),
             )
+            if (k + 1) % 100 == 0:
+                emit()
             if verbose:
                 rate = (k + 1) / max(time.time() - t0, 1e-9)
                 print(
@@ -371,18 +416,7 @@ def build_7ply(
                     flush=True,
                 )
     assert not np.isnan(values).any()
-
-    o_bits = np.array([p[0] for p in ips], dtype=np.uint64)
-    x_bits = np.array([p[1] for p in ips], dtype=np.uint64)
-    planes = bits_to_planes(o_bits, x_bits, age_parity_o=False)
-    np.savez_compressed(
-        out_path,
-        planes=planes,
-        values=values,
-        policies=policies,
-        o_bits=o_bits,
-        x_bits=x_bits,
-    )
+    emit()
     if os.path.exists(partial):
         os.remove(partial)
     return out_path

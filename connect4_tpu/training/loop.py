@@ -301,9 +301,23 @@ class TrainingLoop:
         path7 = self._benchmark_path("connect4dataset_7ply.npz")
         if path7:
             with np.load(path7) as d:
+                planes7, values7, policies7 = d["planes"], d["values"], d["policies"]
+                if "solved" in d:  # partially-built benchmark: solved rows only
+                    n_solved, n_total = int(d["solved"].sum()), len(values7)
+                    if n_solved < n_total:
+                        print(
+                            f"WARNING: 7-ply benchmark is partially built "
+                            f"({n_solved}/{n_total} positions solved); stats "
+                            f"are measured on that subset only and are NOT "
+                            f"comparable to full-set numbers",
+                            flush=True,
+                        )
+                    planes7 = planes7[d["solved"]]
+                    values7 = values7[d["solved"]]
+                    policies7 = policies7[d["solved"]]
                 stats = CombinedStats()
                 for planes, vals, priors in _batches(
-                    d["planes"], d["values"], 4096, d["policies"]
+                    planes7, values7, 4096, policies7
                 ):
                     value, prior = self.forward(
                         self.state.params,
