@@ -110,14 +110,31 @@ def _interactive_game(ai_player, human_side):
 
 
 def cmd_game(args):
+    import json
+    import os
+
     from connect4_tpu.config import NetConfig
     from connect4_tpu.types import Side
 
     net_config = NetConfig(
         filters=args.filters, n_fc_layers=args.fc_layers, n_residuals=args.residuals
     )
+    ckpt_dir = args.checkpoint_dir
+    if ckpt_dir is None:
+        # default to the packaged trained net, like the reference shipping
+        # data/example_net.pth (main.py:38-40,62-63); fall back to the
+        # centre heuristic when absent
+        packaged = os.path.join(
+            os.path.dirname(__file__), "data", "files", "example_net"
+        )
+        cfg_path = os.path.join(packaged, "net_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as fh:
+                net_config = NetConfig(**json.load(fh))
+            ckpt_dir = packaged
+            print(f"Using packaged example net ({packaged})")
     ai = _load_player(
-        "AI", args.checkpoint_dir, args.generation, net_config, args.simulations
+        "AI", ckpt_dir, args.generation, net_config, args.simulations
     )
     # two games, one per colour, like the reference's switch=True match
     _interactive_game(ai, human_side=Side.o)
