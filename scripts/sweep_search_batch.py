@@ -83,9 +83,10 @@ def main():
 
     for batch in args.batches:
         for k in args.parallel_sims:
+            # segments must hold whole parallel iterations
+            spc = max(args.sims_per_call // k, 1) * k
             run = make_chunked_search_fn(
-                ev, dataclasses.replace(config, parallel_sims=k),
-                args.sims_per_call)
+                ev, dataclasses.replace(config, parallel_sims=k), spc)
             state = midgame_state(batch)
             t0 = time.time()
             jax.block_until_ready(run(state, jax.random.key(0)))
