@@ -54,6 +54,10 @@ from connect4_tpu.types import HEIGHT, ONGOING, WIDTH
 
 NEG_INF = jnp.float32(-jnp.inf)
 
+# longest possible backup path: root + one node per ply of a full board
+# + one freshly expanded child
+PATH_MAX = 44
+
 # stats slab channels
 _VISITS = 0
 _VSUM = 1
@@ -358,12 +362,15 @@ def _simulate_exact(
     batch = root_state.age.shape[0]
     rows = jnp.arange(batch)
     # --- phase 1: descend to a childless node -------------------------
+    # The walked path is recorded (lockstep: every still-descending game
+    # is at depth i after i steps, so one column write per iteration)
+    # which turns the backup walk into a single scatter-add.
     def desc_cond(carry):
-        _, _, descending = carry
+        _, _, descending, _, _, _ = carry
         return jnp.any(descending)
 
     def desc_body(carry):
-        node, board, descending = carry
+        node, board, descending, path, depth, i = carry
         valid = _descend_valid(board)
         scores = _child_scores(tree, node, board, config, valid)
         move = _argmax_prefer_large(scores)
@@ -371,13 +378,22 @@ def _simulate_exact(
         child = base + move
         board = _light_step(board, move, descending)
         node = jnp.where(descending, child, node)
+        path = jax.lax.dynamic_update_slice(
+            path, jnp.where(descending, node, capacity)[:, None], (0, i + 1)
+        )
+        depth = depth + descending.astype(jnp.int32)
         has_kids = _take_node(tree.children_base, node) >= 0
-        return node, board, descending & has_kids
+        return node, board, descending & has_kids, path, depth, i + 1
 
     node0 = jnp.zeros((batch,), jnp.int32)
     descending0 = active & (_take_node(tree.children_base, node0) >= 0)
-    leaf, leaf_board, _ = jax.lax.while_loop(
-        desc_cond, desc_body, (node0, root_state, descending0)
+    path0 = jnp.full((batch, PATH_MAX), capacity, jnp.int32)
+    path0 = path0.at[:, 0].set(jnp.where(active, 0, capacity))
+    leaf, leaf_board, _, path, depth, _ = jax.lax.while_loop(
+        desc_cond,
+        desc_body,
+        (node0, root_state, descending0, path0, jnp.zeros((batch,), jnp.int32),
+         jnp.int32(0)),
     )
 
     # --- phase 2: expand evaluated non-terminal leaves ----------------
@@ -451,27 +467,21 @@ def _simulate_exact(
         tree2.evaluated, cur, jnp.ones((batch,), jnp.bool_), store_prior
     )
 
-    # --- phase 4: backup along parent pointers ------------------------
+    # --- phase 4: backup along the recorded path ----------------------
+    # Every node on the root..leaf path plus (if expanded) the fresh
+    # child receives (1 visit, value) — one scatter-add instead of a
+    # parent-pointer walk. Indices within a row are distinct, so the
+    # result is bitwise identical to the sequential walk.
+    path = path.at[rows, depth + 1].set(
+        jnp.where(need_expand, cur, capacity), mode="drop"
+    )
     incr = jnp.stack(
         [jnp.ones((batch,), jnp.float32), value,
          jnp.zeros((batch,), jnp.float32), jnp.zeros((batch,), jnp.float32)],
         axis=-1,
     )  # [B, 4] — adds 1 visit and the value, leaves tval/term alone
-
-    def bp_cond(carry):
-        _, _, alive = carry
-        return jnp.any(alive)
-
-    def bp_body(carry):
-        idx, stats, alive = carry
-        safe = jnp.where(alive, idx, capacity)
-        stats = stats.at[rows, safe].add(incr, mode="drop")
-        nxt = _take_node(tree2.parent, jnp.maximum(idx, 0))
-        idx = jnp.where(alive, nxt, idx)
-        return idx, stats, alive & (idx >= 0)
-
-    _, stats2, _ = jax.lax.while_loop(
-        bp_cond, bp_body, (cur, tree2.stats, active)
+    stats2 = tree2.stats.at[rows[:, None], path].add(
+        incr[:, None, :], mode="drop"
     )
 
     return tree2._replace(
@@ -817,12 +827,13 @@ def _simulate_parallel(
     node0 = jnp.zeros((batch,), jnp.int32)
 
     # --- single descent per game (identical for all K walkers) ------------
+    # Path recorded for the scatter-add backup (see _simulate_exact).
     def desc_cond(carry):
-        _, _, descending = carry
+        _, _, descending, _, _ = carry
         return jnp.any(descending)
 
     def desc_body(carry):
-        node, board, descending = carry
+        node, board, descending, path, i = carry
         valid = _descend_valid(board)
         scores = _const_overlay_scores(tree, node, board, config, valid, K)
         move = _argmax_prefer_large(scores)
@@ -830,12 +841,17 @@ def _simulate_parallel(
         child = base + move
         board = _light_step(board, move, descending)
         node = jnp.where(descending, child, node)
+        path = jax.lax.dynamic_update_slice(
+            path, jnp.where(descending, node, capacity)[:, None], (0, i + 1)
+        )
         has_kids = _take_node(tree.children_base, node) >= 0
-        return node, board, descending & has_kids
+        return node, board, descending & has_kids, path, i + 1
 
     descending0 = active & (_take_node(tree.children_base, node0) >= 0)
-    leaf, leaf_board, _ = jax.lax.while_loop(
-        desc_cond, desc_body, (node0, root_state, descending0)
+    path0 = jnp.full((batch, PATH_MAX), capacity, jnp.int32)
+    path0 = path0.at[:, 0].set(jnp.where(active, 0, capacity))
+    leaf, leaf_board, _, path, _ = jax.lax.while_loop(
+        desc_cond, desc_body, (node0, root_state, descending0, path0, jnp.int32(0))
     )
 
     # --- single expansion of the (shared) leaf ----------------------------
@@ -958,19 +974,11 @@ def _simulate_parallel(
         axis=-1,
     )  # [B, 4]
 
-    def bp_cond(carry):
-        _, _, alive = carry
-        return jnp.any(alive)
-
-    def bp_body(carry):
-        idx, stats_c, alive = carry
-        safe = jnp.where(alive, idx, capacity)
-        stats_c = stats_c.at[rows, safe].add(path_incr, mode="drop")
-        nxt = _take_node(tree2.parent, jnp.maximum(idx, 0))
-        idx = jnp.where(alive, nxt, idx)
-        return idx, stats_c, alive & (idx >= 0)
-
-    _, stats2, _ = jax.lax.while_loop(bp_cond, bp_body, (leaf, stats_b, active))
+    # the recorded path is exactly the root..leaf chain the old
+    # parent-pointer walk visited; one scatter-add replaces the walk
+    stats2 = stats_b.at[rows[:, None], path].add(
+        path_incr[:, None, :], mode="drop"
+    )
 
     return tree2._replace(stats=stats2, prior=prior_arr, evaluated=evaluated2)
 

@@ -83,8 +83,12 @@ def main():
 
     for batch in args.batches:
         for k in args.parallel_sims:
-            # segments must hold whole parallel iterations
-            spc = max(args.sims_per_call // k, 1) * k
+            # segments must hold whole parallel iterations and divide
+            # the total simulation count
+            spc = next(
+                d for d in range(min(args.sims_per_call, args.sims), 0, -1)
+                if args.sims % d == 0 and d % k == 0
+            )
             run = make_chunked_search_fn(
                 ev, dataclasses.replace(config, parallel_sims=k), spc)
             state = midgame_state(batch)
