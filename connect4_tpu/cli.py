@@ -122,8 +122,7 @@ def cmd_game(args):
     ckpt_dir = args.checkpoint_dir
     if ckpt_dir is None:
         # default to the packaged trained net, like the reference shipping
-        # data/example_net.pth (main.py:38-40,62-63); fall back to the
-        # centre heuristic when absent
+        # data/example_net.pth (main.py:38-40,62-63)
         packaged = os.path.join(
             os.path.dirname(__file__), "data", "files", "example_net"
         )
@@ -133,6 +132,17 @@ def cmd_game(args):
                 net_config = NetConfig(**json.load(fh))
             ckpt_dir = packaged
             print(f"Using packaged example net ({packaged})")
+        elif args.heuristic:
+            print(
+                "WARNING: playing against the CENTRE HEURISTIC (a much "
+                "weaker agent), not a trained net."
+            )
+        else:
+            raise SystemExit(
+                f"The packaged example net is missing ({packaged}). Pass "
+                "-n/--checkpoint-dir to play a trained checkpoint, or "
+                "--heuristic to knowingly play the weak centre heuristic."
+            )
     ai = _load_player(
         "AI", ckpt_dir, args.generation, net_config, args.simulations
     )
@@ -217,6 +227,9 @@ def main(argv=None):
                    help="training save_dir holding <gen>/ckpt (default: centre heuristic AI)")
     g.add_argument("-g", "--generation", type=int, default=None)
     g.add_argument("-s", "--simulations", type=int, default=800)
+    g.add_argument("--heuristic", action="store_true",
+                   help="allow falling back to the weak centre heuristic when "
+                        "no checkpoint is given and the packaged net is absent")
     _add_net_flags(g)
     g.set_defaults(fn=cmd_game)
 

@@ -54,28 +54,18 @@ def main():
 
     chunked = make_chunked_search_fn(ev, config, args.sims_per_call)
 
-    # Reuse the refill machinery but drive it by hand so each phase can be
-    # timed with a block_until_ready fence.
     play = sp.make_refill_play_fn(
         ev, config, args.slots, args.games, args.sims_per_call
     )
-    # monkey-time: rebuild the inner pieces exactly as make_refill_play_fn does
     import jax.numpy as jnp
 
-    key = jax.random.key(0)
-    # grab the jitted pieces via a fresh construction (same closure logic)
     from connect4_tpu.env.core import initial_state
 
-    state = None
+    S = args.slots
 
-    # run the real thing for a few waves with per-phase fences
-    # (reconstruct internals)
-    G, S = args.games, args.slots
-
-    init_jit = None
-    # Instead of reaching into the closure, time the public pieces:
-    #   search (init+segments+finish), then the record_jit equivalent via
-    #   one run() call with a progress callback measuring wave boundaries.
+    # Time the public pieces: one run() call with a progress callback
+    # measuring wave boundaries, then the bare chunked search at the same
+    # batch size for comparison.
     t_wall = []
 
     def progress(wave, live):

@@ -86,9 +86,20 @@ def main():
             # segments must hold whole parallel iterations and divide
             # the total simulation count
             spc = next(
-                d for d in range(min(args.sims_per_call, args.sims), 0, -1)
-                if args.sims % d == 0 and d % k == 0
+                (
+                    d for d in range(min(args.sims_per_call, args.sims), 0, -1)
+                    if args.sims % d == 0 and d % k == 0
+                ),
+                None,
             )
+            if spc is None:
+                print(
+                    f"skipping parallel_sims={k}: no segment size <= "
+                    f"{args.sims_per_call} divides sims={args.sims} in whole "
+                    f"K-iterations",
+                    flush=True,
+                )
+                continue
             run = make_chunked_search_fn(
                 ev, dataclasses.replace(config, parallel_sims=k), spc)
             state = midgame_state(batch)
