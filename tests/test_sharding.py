@@ -181,6 +181,48 @@ def test_sharded_training_loop_generation(tmp_path):
     assert resumed.gen == 3
 
 
+def test_sharded_match_restores_old_checkpoint(tmp_path):
+    """The gen>10 gating-match branch under a mesh: the opponent checkpoint
+    is Orbax-restored (committed to one device) *outside* __init__'s
+    replication, then searched against the mesh-replicated current net
+    (loop.py _match). Regression for the path the round-2 dryrun never
+    exercised (its tiny config stayed on the centre-heuristic branch)."""
+    from connect4_tpu.config import (
+        AlphaZeroConfig,
+        ModelConfig as MC,
+        NetConfig as NC,
+        StorageConfig,
+    )
+    from connect4_tpu.training import checkpoint as ckpt
+    from connect4_tpu.training.loop import TrainingLoop
+
+    config = AlphaZeroConfig(
+        model_config=MC(
+            net_config=NC(filters=4, n_fc_layers=1, n_residuals=1),
+            batch_size=64, n_training_epochs=1,
+        ),
+        storage_config=StorageConfig(
+            save_dir=str(tmp_path), data_dir=str(tmp_path / "nodata")
+        ),
+        simulations=4,
+        sims_per_call=2,
+        n_training_games=16,
+        selfplay_batch=8,
+        num_sampling_moves=2,
+        n_eval=1,
+        mesh_shape=(8,),
+    )
+    loop = TrainingLoop(config)
+    # fabricate the checkpoint _match will restore for gen 12 (12 - 10 = 2)
+    ckpt.save_checkpoint(str(tmp_path), 2, loop.state, loop.key)
+    loop.gen = 12
+    loop._match()
+    assert len(loop.match_results) == 1
+    row = loop.match_results.iloc[-1]
+    # 7 one-ply starts x both colours
+    assert row["wins"] + row["draws"] + row["losses"] == 14
+
+
 def test_uneven_batch_rejected():
     mesh = make_mesh((8,))
     try:
