@@ -253,23 +253,35 @@ def build_8ply(
     return out_path
 
 
-def _load_8ply_table(table_path: str) -> dict:
-    """Child-value lookup table from a build_8ply output (mirror-expanded).
+def _load_8ply_status(table_path: str) -> Tuple[dict, set]:
+    """Child-value lookup table from a build_8ply output (mirror-expanded),
+    plus the set of keys the 8-ply build knows about but has NOT yet solved.
 
     A partially-built 8-ply set stores placeholder 0.5 values for unsolved
     rows; only genuinely solved entries may seed 7-ply labels, so rows are
-    filtered on the ``solved`` mask when present."""
-    table = {}
+    filtered on the ``solved`` mask when present. The pending set lets the
+    7-ply builder avoid re-solving positions the (usually concurrent)
+    8-ply build will deliver anyway."""
+    table: dict = {}
+    pending: set = set()
     if not os.path.exists(table_path):
-        return table
+        return table, pending
     with np.load(table_path) as d:
         ok = d["solved"] if "solved" in d else np.ones(len(d["values"]), bool)
         for o_b, x_b, v, good in zip(d["o_bits"], d["x_bits"], d["values"], ok):
-            if not good:
-                continue
-            table[(int(o_b), int(x_b))] = float(v)
-            table[(_mirror(int(o_b)), _mirror(int(x_b)))] = float(v)
-    return table
+            o_b, x_b = int(o_b), int(x_b)
+            if good:
+                table[(o_b, x_b)] = float(v)
+                table[(_mirror(o_b), _mirror(x_b))] = float(v)
+            else:
+                pending.add((o_b, x_b))
+                pending.add((_mirror(o_b), _mirror(x_b)))
+    return table, pending
+
+
+def _load_8ply_table(table_path: str) -> dict:
+    """Solved-rows-only view of ``_load_8ply_status``."""
+    return _load_8ply_status(table_path)[0]
 
 
 def build_7ply(
@@ -279,11 +291,23 @@ def build_7ply(
     n_threads: int = 0,
     tt_size: int = 1 << 31,
     verbose: bool = True,
+    follow: bool = False,
+    poll_seconds: float = 60.0,
 ) -> str:
     """Build the 7-ply value+policy benchmark per the reference recipe
     (``generate_7ply.py``): for each distinct non-terminal 7-ply position,
     child values are exact outcomes; value = best child for the side to
-    move (at 7 plies, x); policy = uniform over optimal moves."""
+    move (at 7 plies, x); policy = uniform over optimal moves.
+
+    Children that belong to the UCI 8-ply set but are still unsolved in
+    the 8-ply table are never solved here — the (typically concurrent)
+    ``build_8ply`` job owns them, and solving them twice in separate
+    transposition tables would waste the machine. With ``follow=True``
+    the builder instead polls the 8-ply npz and re-resolves whenever the
+    table grows, so 7-ply coverage rides the 8-ply build for free; the
+    loop ends when every position is resolved. Without ``follow``, a
+    final unlimited pass solves whatever the table never delivered
+    (standalone completeness, e.g. in tests)."""
     from connect4_tpu.native.solver import ExactSolver
 
     if n_threads == 0:
@@ -308,9 +332,16 @@ def build_7ply(
     # ``generate_7ply.py:59-83``); children outside the table are solved
     # directly.
     table_path = os.path.join(os.path.dirname(out_path), "connect4dataset_8ply.npz")
-    table = _load_8ply_table(table_path)
+    table, pending_uci = _load_8ply_status(table_path)
+    table_mtime = os.path.getmtime(table_path) if os.path.exists(table_path) else 0.0
     if table and verbose:
-        print(f"7ply: loaded {len(table)} 8-ply table entries", flush=True)
+        print(
+            f"7ply: loaded {len(table)} 8-ply table entries "
+            f"({len(pending_uci)} pending upstream)",
+            flush=True,
+        )
+    # direct solves of non-UCI children are cached across retry sweeps
+    extra: Dict[Tuple[int, int], float] = {}
 
     o_bits = np.array([p[0] for p in ips], dtype=np.uint64)
     x_bits = np.array([p[1] for p in ips], dtype=np.uint64)
@@ -342,13 +373,14 @@ def build_7ply(
     t0 = time.time()
     pass1_budget = 2_000_000
 
-    def resolve_ip(i, budget):
+    def resolve_ip(i, budget, defer_pending_uci=True):
         """Returns True when fully resolved; fills values/policies[i]."""
         o, x = ips[i]
         mask = o | x
         child_vals = np.full(WIDTH, np.nan, dtype=np.float32)
         exists = np.zeros(WIDTH, dtype=bool)
         pending, cols = [], []
+        blocked = False
         for c in range(WIDTH):
             cell = (mask + _COL_BASE[c]) & _COL_FULL[c]
             if not cell:
@@ -357,20 +389,31 @@ def build_7ply(
             nx = x | cell  # x moves at ply 7
             if _wins(nx):
                 child_vals[c] = 0.0  # x win
-            elif (mask | cell) == _BOARD:
+                continue
+            if (mask | cell) == _BOARD:
                 child_vals[c] = 0.5
+                continue
+            hit = table.get((o, nx))
+            if hit is None:
+                hit = extra.get((o, nx))
+            if hit is not None:
+                child_vals[c] = hit
+            elif _winning_cells(o) & _playable_cells(mask | cell):
+                # o to move with a playable completing cell: o just wins
+                child_vals[c] = 1.0
+            elif defer_pending_uci and (o, nx) in pending_uci:
+                # the 8-ply build owns this child; wait for its table
+                blocked = True
             else:
-                hit = table.get((o, nx))
-                if hit is not None:
-                    child_vals[c] = hit
-                else:
-                    pending.append((o, nx))
-                    cols.append(c)
-        if pending:
+                pending.append((o, nx))
+                cols.append(c)
+        if pending and not blocked:
             vals = _solve_bits(get_solver(), pending, True, n_threads, budget=budget)
-            for c, v in zip(cols, vals):
+            for c, (po, px), v in zip(cols, pending, vals):
                 child_vals[c] = v
-        if np.isnan(child_vals[exists]).any():
+                if not np.isnan(v):
+                    extra[(po, px)] = float(v)
+        if blocked or np.isnan(child_vals[exists]).any():
             return False
         best = np.min(child_vals[exists])  # x (minimiser) to move
         values[i] = best
@@ -395,26 +438,63 @@ def build_7ply(
                 flush=True,
             )
 
-    if start >= len(ips):  # resumed directly into pass 2
-        deferred = [int(i) for i in np.nonzero(np.isnan(values))[0]]
+    # everything still unresolved (incl. positions before a resumed `start`
+    # whose deferral happened in an earlier process) moves to the next stage
+    deferred = [int(i) for i in np.nonzero(np.isnan(values))[0]]
 
     emit()
-    t0 = time.time()
-    for k, i in enumerate(deferred):
-        resolve_ip(i, 0)
-        if (k + 1) % 10 == 0 or k + 1 == len(deferred):
-            np.savez(
-                partial, values=values, policies=policies,
-                done=np.int64(len(ips)),
+
+    def save_partial():
+        np.savez(
+            partial, values=values, policies=policies, done=np.int64(len(ips))
+        )
+
+    if follow:
+        # Ride the concurrent 8-ply build: whenever its npz grows, re-run
+        # the cheap table/static resolution over what is still unresolved.
+        budget = pass1_budget
+        while deferred:
+            nonlocal_mtime = (
+                os.path.getmtime(table_path) if os.path.exists(table_path) else 0.0
             )
-            if (k + 1) % 100 == 0:
-                emit()
+            if nonlocal_mtime == table_mtime:
+                time.sleep(poll_seconds)
+                continue
+            table_mtime = nonlocal_mtime
+            table, pending_uci = _load_8ply_status(table_path)
+            t0 = time.time()
+            deferred = [i for i in deferred if not resolve_ip(i, budget)]
+            save_partial()
+            emit()
             if verbose:
-                rate = (k + 1) / max(time.time() - t0, 1e-9)
                 print(
-                    f"7ply pass2: {k + 1}/{len(deferred)} ({rate:.2f} pos/s)",
+                    f"7ply follow: {len(ips) - len(deferred)}/{len(ips)} "
+                    f"resolved ({len(table) // 2} table entries, "
+                    f"sweep {time.time() - t0:.0f}s)",
                     flush=True,
                 )
+            if not pending_uci and deferred:
+                # table is complete; anything left is ours to finish
+                break
+        for k, i in enumerate(list(deferred)):
+            if resolve_ip(i, 0, defer_pending_uci=False):
+                deferred.remove(i)
+            if (k + 1) % 10 == 0 or not deferred:
+                save_partial()
+    else:
+        t0 = time.time()
+        for k, i in enumerate(deferred):
+            resolve_ip(i, 0, defer_pending_uci=False)
+            if (k + 1) % 10 == 0 or k + 1 == len(deferred):
+                save_partial()
+                if (k + 1) % 100 == 0:
+                    emit()
+                if verbose:
+                    rate = (k + 1) / max(time.time() - t0, 1e-9)
+                    print(
+                        f"7ply pass2: {k + 1}/{len(deferred)} ({rate:.2f} pos/s)",
+                        flush=True,
+                    )
     assert not np.isnan(values).any()
     emit()
     if os.path.exists(partial):
@@ -430,6 +510,11 @@ def main():
     parser.add_argument("--out-dir", default=None)
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--threads", type=int, default=0)
+    parser.add_argument(
+        "--follow", action="store_true",
+        help="7ply: poll the 8-ply npz and resolve as its table grows "
+             "instead of solving UCI children locally",
+    )
     args = parser.parse_args()
 
     out_dir = args.out_dir
@@ -450,6 +535,7 @@ def main():
             os.path.join(out_dir, "connect4dataset_7ply.npz"),
             limit=args.limit,
             n_threads=args.threads,
+            follow=args.follow,
         )
 
 

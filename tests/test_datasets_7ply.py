@@ -96,6 +96,54 @@ def test_7ply_build_from_table_minimax_and_policy(tmp_path):
             np.testing.assert_allclose(pol[sorted(optimal)], 1.0 / len(optimal))
 
 
+def test_7ply_follow_rides_growing_8ply_table(tmp_path):
+    """With follow=True the builder must NOT solve unsolved-but-known UCI
+    children itself; it waits and re-resolves when the 8-ply npz grows
+    (the two dataset builds share one machine — duplicating the proofs in
+    two transposition tables would double the total work)."""
+    import threading
+    import time as _time
+
+    ips = enumerate_positions(7)[:N_POS]
+    table_path = tmp_path / "connect4dataset_8ply.npz"
+    # half the children start unsolved (the builder must defer them)
+    _fake_table_npz(
+        table_path, ips,
+        value_fn=lambda *_: 1.0,
+        solved_fn=lambda o, nx, c: c % 2 == 0,
+    )
+    out = tmp_path / "connect4dataset_7ply.npz"
+
+    done = []
+
+    def run():
+        build_7ply(
+            str(out), limit=N_POS, chunk=16, verbose=False,
+            follow=True, poll_seconds=0.05,
+        )
+        done.append(True)
+
+    t = threading.Thread(target=run)
+    t.start()
+    _time.sleep(1.0)  # let pass 1 defer the blocked positions
+    _fake_table_npz(table_path, ips, value_fn=lambda *_: 1.0)  # now complete
+    t.join(timeout=120)
+    assert done, "follow build did not finish after the table completed"
+
+    with np.load(out) as d:
+        assert d["solved"].all()
+        # every table child is 1.0, so a position's value is 0.0 exactly
+        # when x has an immediate winning reply (terminal child), else 1.0
+        for i, (o, x) in enumerate(ips):
+            mask = o | x
+            x_win = any(
+                _wins(x | cell)
+                for c in range(7)
+                if (cell := (mask + _COL_BASE[c]) & _COL_FULL[c])
+            )
+            assert d["values"][i] == (0.0 if x_win else 1.0), i
+
+
 def test_load_8ply_table_filters_unsolved_rows(tmp_path):
     """The bug this guards: a partially-built 8-ply set stores placeholder
     0.5 for unsolved rows; loading them as real values would silently
