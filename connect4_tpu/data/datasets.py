@@ -515,6 +515,11 @@ def main():
         help="7ply: poll the 8-ply npz and resolve as its table grows "
              "instead of solving UCI children locally",
     )
+    parser.add_argument(
+        "--tt-bits", type=int, default=31,
+        help="log2 of transposition-table entries (8 bytes each; 31 = 16 GB;"
+             " the unlimited-budget passes benefit from 32-33 when RAM allows)",
+    )
     args = parser.parse_args()
 
     out_dir = args.out_dir
@@ -529,12 +534,14 @@ def main():
             os.path.join(out_dir, "connect4dataset_8ply.npz"),
             limit=args.limit,
             n_threads=args.threads,
+            tt_size=1 << args.tt_bits,
         )
     if args.which in ("7ply", "both"):
         build_7ply(
             os.path.join(out_dir, "connect4dataset_7ply.npz"),
             limit=args.limit,
             n_threads=args.threads,
+            tt_size=1 << args.tt_bits,
             follow=args.follow,
         )
 
