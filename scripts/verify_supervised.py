@@ -54,16 +54,22 @@ def main():
         )
 
     with np.load(path8) as d:
-        planes = np.moveaxis(d["planes"], 1, -1).astype(np.float32)
-        values = d["values"].astype(np.float32)
+        ok = d["solved"] if "solved" in d else np.ones(len(d["values"]), bool)
+        if not ok.all():
+            print(f"8ply: using {int(ok.sum())}/{len(ok)} solved rows")
+        planes = np.moveaxis(d["planes"][ok], 1, -1).astype(np.float32)
+        values = d["values"][ok].astype(np.float32)
     # uniform policy target (the 8-ply set has no policy labels); use the
     # 7-ply set instead when present
     policies = np.full((len(values), 7), 1.0 / 7, dtype=np.float32)
     if os.path.exists(path7):
         with np.load(path7) as d:
-            planes7 = np.moveaxis(d["planes"], 1, -1).astype(np.float32)
-            values7 = d["values"].astype(np.float32)
-            policies7 = d["policies"].astype(np.float32)
+            ok = d["solved"] if "solved" in d else np.ones(len(d["values"]), bool)
+            if not ok.all():
+                print(f"7ply: using {int(ok.sum())}/{len(ok)} solved rows")
+            planes7 = np.moveaxis(d["planes"][ok], 1, -1).astype(np.float32)
+            values7 = d["values"][ok].astype(np.float32)
+            policies7 = d["policies"][ok].astype(np.float32)
         planes = np.concatenate([planes, planes7])
         values = np.concatenate([values, values7])
         policies = np.concatenate([policies, policies7])
