@@ -186,11 +186,18 @@ def build_8ply(
 
     partial = out_path + ".partial.npz"
     values = np.full(len(positions), np.nan, dtype=np.float32)
+    # highest node budget that failed to solve each position, so a
+    # restarted build never re-runs a budget pass a previous process
+    # already exhausted (the hard tail is re-attempted only by passes
+    # with a strictly larger budget)
+    tried = np.zeros(len(positions), dtype=np.int64)
     if os.path.exists(partial):
         with np.load(partial) as d:
             prev = d["values"]
             if len(prev) == len(values):
                 values = prev
+                if "tried" in d:
+                    tried = d["tried"]
 
     o_bits = np.array([p[0] for p in positions], dtype=np.uint64)
     x_bits = np.array([p[1] for p in positions], dtype=np.uint64)
@@ -224,15 +231,20 @@ def build_8ply(
         (0, np.arange(len(positions)), max(chunk // 50, 2)),
     ]
     for budget, base_order, step in passes:
-        order = base_order[np.isnan(values[base_order])]
+        unsolved = np.isnan(values[base_order])
+        skip_tried = (budget != 0) & (tried[base_order] >= (budget or 0))
+        order = base_order[unsolved & ~skip_tried]
         if len(order) == 0:
-            break
+            continue
         t0 = time.time()
         for i in range(0, len(order), step):
             idx = order[i : i + step]
             sl = [positions[j] for j in idx]
             values[idx] = _solve_bits(solver, sl, True, n_threads, budget=budget)
-            np.savez(partial, values=values, done=np.int64(0))
+            if budget:
+                failed = idx[np.isnan(values[idx])]
+                tried[failed] = np.maximum(tried[failed], budget)
+            np.savez(partial, values=values, tried=tried, done=np.int64(0))
             if verbose:
                 done = i + len(idx)
                 rate = done / max(time.time() - t0, 1e-9)
