@@ -33,7 +33,9 @@ def render(save_dir: str, verbose: bool = True) -> None:
         if not cols or df.empty:
             continue
         ax = df[cols].plot(title=name)
-        ax.set_xlabel("generation")
+        # match_results holds one row per gating match (every n_eval
+        # generations), not one per generation
+        ax.set_xlabel("match" if name == "match_results" else "generation")
         out = os.path.join(save_dir, f"{name}.png")
         plt.savefig(out, dpi=120, bbox_inches="tight")
         plt.close("all")
