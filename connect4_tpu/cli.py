@@ -224,7 +224,7 @@ def main(argv=None):
 
     g = sub.add_parser("game", help="play against the AI in the terminal")
     g.add_argument("-n", "--checkpoint-dir", default=None,
-                   help="training save_dir holding <gen>/ckpt (default: centre heuristic AI)")
+                   help="training save_dir holding <gen>/ckpt (default: packaged example net)")
     g.add_argument("-g", "--generation", type=int, default=None)
     g.add_argument("-s", "--simulations", type=int, default=800)
     g.add_argument("--heuristic", action="store_true",

@@ -114,6 +114,13 @@ class AlphaZeroConfig:
     root_exploration_fraction: float = 0.25
     num_sampling_moves: int = 6
     n_eval: int = 1  # run a gating match every n_eval generations
+    # Start-position depth for the in-loop gating match. The reference
+    # plays 14 games (all 7 one-ply starts, both colours,
+    # ``neural/training.py:176-199``) — too few for signal; batched
+    # matches here are nearly free, so the default plays all 49 two-ply
+    # starts both colours (98 games, the protocol of the reference's
+    # offline ``scripts/matches.py``). Set to 1 for reference-compat.
+    gating_plies: int = 2
     n_training_games: int = 1200
     selfplay_batch: int = 1200  # games in flight on-device per wave
     max_nodes: Optional[int] = None

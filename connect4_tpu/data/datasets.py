@@ -142,6 +142,23 @@ def bits_to_planes(o_bits: np.ndarray, x_bits: np.ndarray, age_parity_o: bool = 
 ABORTED = -128
 
 
+def _atomic_savez(path: str, compressed: bool, **arrays) -> None:
+    """Write an npz atomically: savez to a same-directory temp file, then
+    ``os.replace`` onto the final path. Concurrent readers (the 7-ply
+    ``--follow`` poller, the training loop's evaluator) therefore always
+    see a complete zip, never a truncated in-progress write."""
+    tmp = f"{path}.tmp-{os.getpid()}.npz"
+    try:
+        if compressed:
+            np.savez_compressed(tmp, **arrays)
+        else:
+            np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
 def _solve_bits(
     solver,
     positions: List[Tuple[int, int]],
@@ -206,8 +223,9 @@ def build_8ply(
     def emit() -> None:
         """Write the dataset with whatever is solved so far. Consumers
         filter on ``solved``; once complete it has no effect."""
-        np.savez_compressed(
+        _atomic_savez(
             out_path,
+            compressed=True,
             planes=planes,
             values=np.nan_to_num(values, nan=0.5),
             solved=~np.isnan(values),
@@ -244,7 +262,7 @@ def build_8ply(
             if budget:
                 failed = idx[np.isnan(values[idx])]
                 tried[failed] = np.maximum(tried[failed], budget)
-            np.savez(partial, values=values, tried=tried, done=np.int64(0))
+            _atomic_savez(partial, compressed=False, values=values, tried=tried, done=np.int64(0))
             if verbose:
                 done = i + len(idx)
                 rate = done / max(time.time() - t0, 1e-9)
@@ -274,26 +292,35 @@ def _load_8ply_status(table_path: str) -> Tuple[dict, set]:
     filtered on the ``solved`` mask when present. The pending set lets the
     7-ply builder avoid re-solving positions the (usually concurrent)
     8-ply build will deliver anyway."""
+    import zipfile
+
     table: dict = {}
     pending: set = set()
     if not os.path.exists(table_path):
         return table, pending
-    with np.load(table_path) as d:
-        ok = d["solved"] if "solved" in d else np.ones(len(d["values"]), bool)
-        for o_b, x_b, v, good in zip(d["o_bits"], d["x_bits"], d["values"], ok):
-            o_b, x_b = int(o_b), int(x_b)
-            if good:
-                table[(o_b, x_b)] = float(v)
-                table[(_mirror(o_b), _mirror(x_b))] = float(v)
-            else:
-                pending.add((o_b, x_b))
-                pending.add((_mirror(o_b), _mirror(x_b)))
+    # A concurrent build_8ply may be mid-write (its emit() is atomic from
+    # this round on, but an older process or a non-atomic writer can still
+    # leave a truncated zip visible); retry briefly before giving up.
+    for attempt in range(5):
+        try:
+            with np.load(table_path) as d:
+                ok = d["solved"] if "solved" in d else np.ones(len(d["values"]), bool)
+                for o_b, x_b, v, good in zip(d["o_bits"], d["x_bits"], d["values"], ok):
+                    o_b, x_b = int(o_b), int(x_b)
+                    if good:
+                        table[(o_b, x_b)] = float(v)
+                        table[(_mirror(o_b), _mirror(x_b))] = float(v)
+                    else:
+                        pending.add((o_b, x_b))
+                        pending.add((_mirror(o_b), _mirror(x_b)))
+            return table, pending
+        except (zipfile.BadZipFile, EOFError, OSError, KeyError, ValueError):
+            if attempt == 4:
+                raise
+            table.clear()
+            pending.clear()
+            time.sleep(2.0 * (attempt + 1))
     return table, pending
-
-
-def _load_8ply_table(table_path: str) -> dict:
-    """Solved-rows-only view of ``_load_8ply_status``."""
-    return _load_8ply_status(table_path)[0]
 
 
 def build_7ply(
@@ -362,8 +389,9 @@ def build_7ply(
     def emit() -> None:
         """Write the dataset with whatever is resolved so far; consumers
         filter on ``solved`` (mirrors build_8ply's partial emission)."""
-        np.savez_compressed(
+        _atomic_savez(
             out_path,
+            compressed=True,
             planes=planes,
             values=np.nan_to_num(values, nan=0.5),
             solved=~np.isnan(values),
@@ -439,7 +467,10 @@ def build_7ply(
             if not resolve_ip(j, pass1_budget):
                 deferred.append(j)
         done = min(i + chunk, len(ips))
-        np.savez(partial, values=values, policies=policies, done=np.int64(done))
+        _atomic_savez(
+            partial, compressed=False,
+            values=values, policies=policies, done=np.int64(done),
+        )
         if (i // chunk) % 20 == 19:
             emit()
         if verbose:
@@ -457,18 +488,25 @@ def build_7ply(
     emit()
 
     def save_partial():
-        np.savez(
-            partial, values=values, policies=policies, done=np.int64(len(ips))
+        _atomic_savez(
+            partial, compressed=False,
+            values=values, policies=policies, done=np.int64(len(ips)),
         )
 
     if follow:
         # Ride the concurrent 8-ply build: whenever its npz grows, re-run
         # the cheap table/static resolution over what is still unresolved.
+        # The loop exits to the local finishing pass as soon as the table
+        # is complete (no pending upstream keys) or absent — checked
+        # *before* sleeping, so an already-complete or missing table never
+        # parks the builder forever waiting for an mtime change.
         budget = pass1_budget
         while deferred:
-            nonlocal_mtime = (
-                os.path.getmtime(table_path) if os.path.exists(table_path) else 0.0
-            )
+            if not pending_uci or not os.path.exists(table_path):
+                # table complete (or no upstream build at all); anything
+                # left is ours to finish locally
+                break
+            nonlocal_mtime = os.path.getmtime(table_path)
             if nonlocal_mtime == table_mtime:
                 time.sleep(poll_seconds)
                 continue
@@ -485,9 +523,6 @@ def build_7ply(
                     f"sweep {time.time() - t0:.0f}s)",
                     flush=True,
                 )
-            if not pending_uci and deferred:
-                # table is complete; anything left is ours to finish
-                break
         for k, i in enumerate(list(deferred)):
             if resolve_ip(i, 0, defer_pending_uci=False):
                 deferred.remove(i)

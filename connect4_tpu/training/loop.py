@@ -266,9 +266,11 @@ class TrainingLoop:
         files have not been generated yet."""
         from connect4_tpu.training.learner import bce_loss
 
+        from connect4_tpu.utils import np_load_retry
+
         path8 = self._benchmark_path("connect4dataset_8ply.npz")
         if path8:
-            with np.load(path8) as d:
+            with np_load_retry(path8) as d:
                 planes8, values8 = d["planes"], d["values"]
                 if "solved" in d:  # partially-built benchmark: use solved rows
                     n_solved, n_total = int(d["solved"].sum()), len(values8)
@@ -300,7 +302,7 @@ class TrainingLoop:
 
         path7 = self._benchmark_path("connect4dataset_7ply.npz")
         if path7:
-            with np.load(path7) as d:
+            with np_load_retry(path7) as d:
                 planes7, values7, policies7 = d["planes"], d["values"], d["policies"]
                 if "solved" in d:  # partially-built benchmark: solved rows only
                     n_solved, n_total = int(d["solved"].sum()), len(values7)
@@ -338,7 +340,10 @@ class TrainingLoop:
 
     def _match(self) -> None:
         """Gating match (``training.py:176-207``): vs the centre heuristic
-        until gen 10, then vs the checkpoint from 10 generations ago."""
+        until gen 10, then vs the checkpoint from 10 generations ago.
+        Unlike the reference's 14-game protocol, the default plays all 49
+        two-ply starts both colours (98 games, ``config.gating_plies``) —
+        batched matches cost seconds here and 14 games is parity noise."""
         az = MatchPlayer(
             "AlphaZero",
             self._evaluator(),
@@ -369,7 +374,10 @@ class TrainingLoop:
                 opponent_cfg,
             )
 
-        results = play_match(az, opponent, plies=1, switch=True, seed=self.gen)
+        results = play_match(
+            az, opponent,
+            plies=self.config.gating_plies, switch=True, seed=self.gen,
+        )
         self.match_results = pd.concat(
             [self.match_results, pd.DataFrame([results])], ignore_index=True
         )

@@ -32,7 +32,21 @@ def render(save_dir: str, verbose: bool = True) -> None:
         cols = [c for c in columns if c in df.columns]
         if not cols or df.empty:
             continue
-        ax = df[cols].plot(title=name)
+        plot_df = df[cols]
+        # Per-bucket accuracies (loss / draw / win) from the `correct`
+        # column, {bucket: (n_members, n_correct)} per row — surfaces the
+        # draw-bucket pathology directly on the learning curves.
+        if "correct" in df.columns:
+            for bucket, label in ((0.0, "acc[loss]"), (0.5, "acc[draw]"), (1.0, "acc[win]")):
+                try:
+                    vals = [
+                        (c[bucket][1] / c[bucket][0]) if c[bucket][0] else float("nan")
+                        for c in df["correct"]
+                    ]
+                    plot_df = plot_df.assign(**{label: vals})
+                except (KeyError, TypeError, IndexError):
+                    break
+        ax = plot_df.plot(title=name)
         # match_results holds one row per gating match (every n_eval
         # generations), not one per generation
         ax.set_xlabel("match" if name == "match_results" else "generation")

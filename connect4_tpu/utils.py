@@ -27,6 +27,26 @@ def enable_compilation_cache(path: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def np_load_retry(path: str, attempts: int = 5):
+    """``np.load`` with retries on truncated-zip errors.
+
+    The benchmark npz files are rewritten in place by the (long-running)
+    dataset builders; writers are atomic from this round on, but an older
+    builder process may still write non-atomically, so concurrent readers
+    retry briefly instead of crashing a training generation."""
+    import zipfile
+
+    import numpy as np
+
+    for attempt in range(attempts):
+        try:
+            return np.load(path)
+        except (zipfile.BadZipFile, EOFError, OSError, ValueError):
+            if attempt == attempts - 1:
+                raise
+            time.sleep(2.0 * (attempt + 1))
+
+
 @contextlib.contextmanager
 def trace(log_dir: str | None = None):
     """Capture a device profile for the enclosed block.

@@ -15,7 +15,7 @@ from connect4_tpu.data import datasets
 from connect4_tpu.data.datasets import (
     _COL_BASE,
     _COL_FULL,
-    _load_8ply_table,
+    _load_8ply_status,
     _wins,
     build_7ply,
     enumerate_positions,
@@ -155,14 +155,15 @@ def test_load_8ply_table_filters_unsolved_rows(tmp_path):
         value_fn=lambda *_: 1.0,
         solved_fn=lambda o, nx, c: c % 2 == 0,  # odd columns unsolved
     )
-    table = _load_8ply_table(str(path))
+    table, pending = _load_8ply_status(str(path))
     for o, x in ips:
         for c, nx in _children(o, x):
             if c % 2 == 0:
                 assert table[(o, nx)] == 1.0
             else:
                 assert (o, nx) not in table
-    assert _load_8ply_table(str(tmp_path / "missing.npz")) == {}
+                assert (o, nx) in pending
+    assert _load_8ply_status(str(tmp_path / "missing.npz")) == ({}, set())
 
 
 def test_7ply_partial_dataset_feeds_training_eval(tmp_path):
