@@ -156,7 +156,7 @@ def cmd_training(args):
     from connect4_tpu.training.loop import TrainingLoop
 
     config = load_config_file(args.config)
-    TrainingLoop(config).run(args.generations)
+    TrainingLoop(config).run(args.generations, until=args.until_generation)
 
 
 def cmd_match(args):
@@ -237,6 +237,9 @@ def main(argv=None):
     t.add_argument("-c", "--config", required=True, help="Python config file defining `config`")
     t.add_argument("--generations", type=int, default=None,
                    help="stop after N generations (default: run forever)")
+    t.add_argument("--until-generation", type=int, default=None,
+                   help="stop after the given absolute generation number "
+                        "(restart-safe: resumed runs still stop there)")
     t.set_defaults(fn=cmd_training)
 
     m = sub.add_parser("match", help="head-to-head between checkpoints")

@@ -117,13 +117,19 @@ class TrainingLoop:
 
     # -- public ------------------------------------------------------------
 
-    def run(self, generations: Optional[int] = None) -> None:
+    def run(
+        self, generations: Optional[int] = None, until: Optional[int] = None
+    ) -> None:
         """Run ``generations`` iterations (forever when None, like the
-        reference's ``while True`` loop, ``training.py:78-85``). Touching
-        ``<save_dir>/STOP`` stops the loop cleanly at the next generation
-        boundary (checkpoints are per-generation, so a stopped run resumes
-        exactly where it left off)."""
+        reference's ``while True`` loop, ``training.py:78-85``), or up to
+        the *absolute* generation ``until`` — the restart-safe form: a
+        supervised run relaunched mid-way still stops at the same target.
+        Touching ``<save_dir>/STOP`` stops the loop cleanly at the next
+        generation boundary (checkpoints are per-generation, so a stopped
+        run resumes exactly where it left off)."""
         end = None if generations is None else self.gen + generations
+        if until is not None:
+            end = until + 1 if end is None else min(end, until + 1)
         stop_file = os.path.join(self.save_dir, "STOP")
         while end is None or self.gen < end:
             if os.path.exists(stop_file):

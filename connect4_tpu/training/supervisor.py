@@ -61,6 +61,7 @@ def supervise(
     max_restarts: int = 50,
     extra_env: dict | None = None,
     command: list | None = None,
+    until_generation: int | None = None,
 ) -> int:
     """Run the training CLI under stall supervision; returns its final
     exit code (0 also when stopped via the STOP file). ``command``
@@ -77,6 +78,10 @@ def supervise(
     ]
     if command is None and generations is not None:
         cmd += ["--generations", str(generations)]
+    if command is None and until_generation is not None:
+        # absolute target: restart-safe (a relative --generations budget
+        # would overshoot when a wedged child is relaunched mid-run)
+        cmd += ["--until-generation", str(until_generation)]
 
     env = dict(os.environ)
     if extra_env:
@@ -140,6 +145,7 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     parser.add_argument("-c", "--config", required=True)
     parser.add_argument("--generations", type=int, default=None)
+    parser.add_argument("--until-generation", type=int, default=None)
     parser.add_argument("--log", default="train.log")
     parser.add_argument("--stall-minutes", type=float, default=20.0)
     parser.add_argument("--poll-seconds", type=float, default=30.0)
@@ -150,6 +156,7 @@ def main(argv=None) -> int:
         args.config,
         args.log,
         generations=args.generations,
+        until_generation=args.until_generation,
         stall_seconds=args.stall_minutes * 60,
         poll_seconds=args.poll_seconds,
         settle_seconds=args.settle_seconds,
