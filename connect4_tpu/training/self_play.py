@@ -366,19 +366,27 @@ def make_refill_play_fn(
 
     def run(key: jax.Array, progress=None) -> SelfPlayOutput:
         state, game_ids, bufs, results, next_game, active = init_jit()
-        live = S
+        pending_live = None  # previous wave's live-count, still on device
         for wave in range(G * AREA):  # safety bound; exits when pool drains
-            if not live:
-                break
             key, search_key = split_jit(key)
             res = run_search(state, search_key, active)
             state, game_ids, bufs, results, next_game, active, live_dev = record_jit(
                 state, game_ids, bufs, results, next_game,
                 res.move, res.value, res.values_policy, active,
             )
-            live = int(np.asarray(live_dev))
-            if progress is not None:
-                progress(wave, live)
+            # One-wave-lagged termination check: wave N+1 is enqueued
+            # BEFORE blocking on wave N's live-count, so host dispatch and
+            # the tunnel round-trip hide under device compute (JAX async
+            # dispatch). Costs exactly one all-inactive wave at drain
+            # (every row masked; record scatters drop — outputs
+            # unchanged, only an extra PRNG split that nothing reads).
+            if pending_live is not None:
+                live = int(np.asarray(pending_live))
+                if progress is not None:
+                    progress(wave - 1, live)
+                if not live:
+                    break
+            pending_live = live_dev
         planes, moves, values, policies, mask = bufs
         return SelfPlayOutput(
             planes=planes,
