@@ -211,6 +211,7 @@ def test_sharded_match_restores_old_checkpoint(tmp_path):
         num_sampling_moves=2,
         n_eval=1,
         mesh_shape=(8,),
+        gating_plies=1,  # reference-compat 14-game protocol keeps this cheap
     )
     loop = TrainingLoop(config)
     # fabricate the checkpoint _match will restore for gen 12 (12 - 10 = 2)
@@ -221,6 +222,19 @@ def test_sharded_match_restores_old_checkpoint(tmp_path):
     row = loop.match_results.iloc[-1]
     # 7 one-ply starts x both colours
     assert row["wins"] + row["draws"] + row["losses"] == 14
+
+
+def test_default_gate_plays_98_games():
+    """The default in-loop gate covers all 49 two-ply starts both colours
+    (config.gating_plies=2); gating_plies=1 restores the reference's
+    14-game protocol (``neural/training.py:176-199``)."""
+    from connect4_tpu.config import AlphaZeroConfig
+    from connect4_tpu.env.host_board import enumerate_start_positions
+
+    config = AlphaZeroConfig()
+    assert config.gating_plies == 2
+    assert len(enumerate_start_positions(config.gating_plies)) * 2 == 98
+    assert len(enumerate_start_positions(1)) * 2 == 14
 
 
 def test_uneven_batch_rejected():
