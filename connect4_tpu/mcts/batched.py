@@ -180,6 +180,39 @@ def _descend_valid(board: BoardState) -> jax.Array:
     return board.height < HEIGHT
 
 
+def _child_score_parts(
+    node_stats: jax.Array,  # [B, 4]
+    child: jax.Array,  # [B, 7, 4]
+    prior_row: jax.Array,  # [B, 7]
+    side: jax.Array,  # [B]
+    config: MCTSConfig,
+    valid: jax.Array,
+) -> jax.Array:
+    """``_child_scores`` on pre-gathered inputs (see
+    ``_const_overlay_score_parts`` for why the hot loop pre-gathers)."""
+    parent_visits = node_stats[..., _VISITS]
+    log_term = jnp.log(
+        (parent_visits + jnp.float32(config.pb_c_base) + 1.0)
+        / jnp.float32(config.pb_c_base)
+    )
+    pb_c0 = (log_term + jnp.float32(config.pb_c_init)) * jnp.sqrt(parent_visits)
+
+    c_visits = child[..., _VISITS]
+    c_vsum = child[..., _VSUM]
+    c_tval = child[..., _TVAL]
+    c_term = child[..., _TERM] > 0.5
+
+    mean = c_vsum / jnp.maximum(c_visits, 1.0)
+    abs_val = jnp.where(c_term, c_tval, jnp.where(c_visits > 0, mean, 0.0))
+    known = c_term | (c_visits > 0)
+    value_score = jnp.where(known, _value_to_side(abs_val, side[:, None]), 0.0)
+
+    pb_c = pb_c0[:, None] / (c_visits + 1.0)
+    scores = pb_c * prior_row + value_score
+
+    return jnp.where(valid, scores, NEG_INF)
+
+
 def _child_scores(
     tree: TreeArrays,
     node: jax.Array,
@@ -194,31 +227,10 @@ def _child_scores(
     """
     base = _take_node(tree.children_base, node)  # [B]
     side = (board.age % 2).astype(jnp.int32)
-
     node_stats = _take_node(tree.stats, node)  # [B, 4]
-    parent_visits = node_stats[..., _VISITS]
-    log_term = jnp.log(
-        (parent_visits + jnp.float32(config.pb_c_base) + 1.0)
-        / jnp.float32(config.pb_c_base)
-    )
-    pb_c0 = (log_term + jnp.float32(config.pb_c_init)) * jnp.sqrt(parent_visits)
-
     child = _take_child_block(tree.stats, base)  # [B, 7, 4]
-    c_visits = child[..., _VISITS]
-    c_vsum = child[..., _VSUM]
-    c_tval = child[..., _TVAL]
-    c_term = child[..., _TERM] > 0.5
-
-    mean = c_vsum / jnp.maximum(c_visits, 1.0)
-    abs_val = jnp.where(c_term, c_tval, jnp.where(c_visits > 0, mean, 0.0))
-    known = c_term | (c_visits > 0)
-    value_score = jnp.where(known, _value_to_side(abs_val, side[:, None]), 0.0)
-
-    pb_c = pb_c0[:, None] / (c_visits + 1.0)
     prior_row = _take_node(tree.prior, node)  # [B, 7]
-    scores = pb_c * prior_row + value_score
-
-    return jnp.where(valid, scores, NEG_INF)
+    return _child_score_parts(node_stats, child, prior_row, side, config, valid)
 
 
 def _argmax_prefer_large(scores: jax.Array) -> jax.Array:
@@ -364,41 +376,51 @@ def _simulate_exact(
     # --- phase 1: descend to a childless node -------------------------
     # The walked path is recorded (lockstep: every still-descending game
     # is at depth i after i steps, so one column write per iteration)
-    # which turns the backup walk into a single scatter-add.
+    # which turns the backup walk into a single scatter-add. The loop
+    # carries the current node's stats row + child-block base (selected
+    # out of this iteration's block gathers), cutting per-iteration
+    # gathers from 5 to 3 — see _simulate_parallel.
     def desc_cond(carry):
-        _, _, descending, _, _, _ = carry
+        _, _, _, _, descending, _, _, _ = carry
         return jnp.any(descending)
 
     def desc_body(carry):
-        node, board, descending, path, depth, i = carry
+        node, base, node_stats, board, descending, path, depth, i = carry
         valid = _descend_valid(board)
-        scores = _child_scores(tree, node, board, config, valid)
+        side = (board.age % 2).astype(jnp.int32)
+        child = _take_child_block(tree.stats, base)  # [B, 7, 4]
+        prior_row = _take_node(tree.prior, node)  # [B, 7]
+        scores = _child_score_parts(node_stats, child, prior_row, side, config, valid)
         move = _argmax_prefer_large(scores)
-        base = _take_node(tree.children_base, node)
-        child = base + move
         board = _light_step(board, move, descending)
-        node = jnp.where(descending, child, node)
+        node = jnp.where(descending, base + move, node)
+        sel_stats = jnp.take_along_axis(child, move[:, None, None], axis=1)[:, 0]
+        node_stats = jnp.where(descending[:, None], sel_stats, node_stats)
+        cb_block = _take_child_block(tree.children_base, base)  # [B, 7]
+        sel_base = jnp.take_along_axis(cb_block, move[:, None], axis=1)[:, 0]
+        base = jnp.where(descending, sel_base, base)
         path = jax.lax.dynamic_update_slice(
             path, jnp.where(descending, node, capacity)[:, None], (0, i + 1)
         )
         depth = depth + descending.astype(jnp.int32)
-        has_kids = _take_node(tree.children_base, node) >= 0
-        return node, board, descending & has_kids, path, depth, i + 1
+        return node, base, node_stats, board, descending & (base >= 0), path, depth, i + 1
 
     node0 = jnp.zeros((batch,), jnp.int32)
-    descending0 = active & (_take_node(tree.children_base, node0) >= 0)
+    base0 = tree.children_base[:, 0]
+    stats0 = tree.stats[:, 0, :]
+    descending0 = active & (base0 >= 0)
     path0 = jnp.full((batch, PATH_MAX), capacity, jnp.int32)
     path0 = path0.at[:, 0].set(jnp.where(active, 0, capacity))
-    leaf, leaf_board, _, path, depth, _ = jax.lax.while_loop(
+    leaf, _, leaf_stats, leaf_board, _, path, depth, _ = jax.lax.while_loop(
         desc_cond,
         desc_body,
-        (node0, root_state, descending0, path0, jnp.zeros((batch,), jnp.int32),
-         jnp.int32(0)),
+        (node0, base0, stats0, root_state, descending0, path0,
+         jnp.zeros((batch,), jnp.int32), jnp.int32(0)),
     )
 
     # --- phase 2: expand evaluated non-terminal leaves ----------------
+    # leaf_stats is the carried stats[leaf] row from the descent
     leaf_eval = _take_node(tree.evaluated, leaf)
-    leaf_stats = _take_node(tree.stats, leaf)
     leaf_term = leaf_stats[..., _TERM] > 0.5
     need_expand = active & leaf_eval & ~leaf_term
 
@@ -750,28 +772,23 @@ def _simulate_parallel_reference(
     return tree._replace(stats=stats2, prior=prior_arr, evaluated=evaluated2)
 
 
-def _const_overlay_scores(
-    tree: TreeArrays,
-    node: jax.Array,
-    board: BoardState,
+def _const_overlay_score_parts(
+    node_stats: jax.Array,  # [B, 4] — the selecting node's stats row
+    child: jax.Array,  # [B, 7, 4] — its child block's stats
+    prior_row: jax.Array,  # [B, 7]
+    side: jax.Array,  # [B]
     config: MCTSConfig,
     valid: jax.Array,
     k: int,
     c_ov: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """``_overlay_scores`` with the overlay CONSTANT-FOLDED for the
-    walker-deduplicated iteration: every node on the descent path holds
-    exactly K virtual visits (all K lockstep walkers stepped into it) and
-    the children of the current node hold zero (a descent never revisits
-    a node within an iteration), so no [B, capacity] overlay slab is
-    needed — the selecting node's overlay is the constant ``k`` and the
-    child overlay is 0 during descent, or the local [B, 7] fan-out
-    counter ``c_ov`` at the leaf. Operation order matches
-    ``_overlay_scores`` exactly (bitwise-equal scores)."""
-    base = _take_node(tree.children_base, node)
-    side = (board.age % 2).astype(jnp.int32)
+    """``_const_overlay_scores`` on pre-gathered inputs.
 
-    node_stats = _take_node(tree.stats, node)  # [B, 4]
+    The descent loop carries the current node's stats row and child-block
+    base across iterations (the selected child's stats were already in
+    this iteration's block gather), so the per-iteration node-stats and
+    children-base gathers disappear; the arithmetic is unchanged
+    (bitwise-equal scores)."""
     parent_visits = node_stats[..., _VISITS] + jnp.float32(k)
     log_term = jnp.log(
         (parent_visits + jnp.float32(config.pb_c_base) + 1.0)
@@ -779,7 +796,6 @@ def _const_overlay_scores(
     )
     pb_c0 = (log_term + jnp.float32(config.pb_c_init)) * jnp.sqrt(parent_visits)
 
-    child = _take_child_block(tree.stats, base)  # [B, 7, 4]
     c_visits = child[..., _VISITS]
     c_vsum = child[..., _VSUM]
     c_tval = child[..., _TVAL]
@@ -793,9 +809,30 @@ def _const_overlay_scores(
     value_score = jnp.where(c_term, term_val, jnp.where(known, diluted, 0.0))
 
     pb_c = pb_c0[..., None] / (n_eff + 1.0)
-    prior_row = _take_node(tree.prior, node)  # [B, 7]
     scores = pb_c * prior_row + value_score
     return jnp.where(valid, scores, NEG_INF)
+
+
+def _const_overlay_scores(
+    tree: TreeArrays,
+    node: jax.Array,
+    board: BoardState,
+    config: MCTSConfig,
+    valid: jax.Array,
+    k: int,
+    c_ov: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Gather-then-score convenience wrapper over the parts form (used by
+    tests and one-off callers; the hot loops pre-gather and call the
+    parts form directly)."""
+    base = _take_node(tree.children_base, node)
+    side = (board.age % 2).astype(jnp.int32)
+    node_stats = _take_node(tree.stats, node)
+    child = _take_child_block(tree.stats, base)
+    prior_row = _take_node(tree.prior, node)
+    return _const_overlay_score_parts(
+        node_stats, child, prior_row, side, config, valid, k, c_ov
+    )
 
 
 def _simulate_parallel(
@@ -828,37 +865,53 @@ def _simulate_parallel(
 
     # --- single descent per game (identical for all K walkers) ------------
     # Path recorded for the scatter-add backup (see _simulate_exact).
+    # The loop carries the current node's stats row and child-block base:
+    # the selected child's stats come out of this iteration's block gather
+    # and its base out of a children_base block gather, so no per-node
+    # re-gathers are needed next iteration (3 gathers/iter instead of 5).
     def desc_cond(carry):
-        _, _, descending, _, _ = carry
+        _, _, _, _, descending, _, _ = carry
         return jnp.any(descending)
 
     def desc_body(carry):
-        node, board, descending, path, i = carry
+        node, base, node_stats, board, descending, path, i = carry
         valid = _descend_valid(board)
-        scores = _const_overlay_scores(tree, node, board, config, valid, K)
+        side = (board.age % 2).astype(jnp.int32)
+        child = _take_child_block(tree.stats, base)  # [B, 7, 4]
+        prior_row = _take_node(tree.prior, node)  # [B, 7]
+        scores = _const_overlay_score_parts(
+            node_stats, child, prior_row, side, config, valid, K
+        )
         move = _argmax_prefer_large(scores)
-        base = _take_node(tree.children_base, node)
-        child = base + move
         board = _light_step(board, move, descending)
-        node = jnp.where(descending, child, node)
+        node = jnp.where(descending, base + move, node)
+        sel_stats = jnp.take_along_axis(child, move[:, None, None], axis=1)[:, 0]
+        node_stats = jnp.where(descending[:, None], sel_stats, node_stats)
+        cb_block = _take_child_block(tree.children_base, base)  # [B, 7]
+        sel_base = jnp.take_along_axis(cb_block, move[:, None], axis=1)[:, 0]
+        base = jnp.where(descending, sel_base, base)
         path = jax.lax.dynamic_update_slice(
             path, jnp.where(descending, node, capacity)[:, None], (0, i + 1)
         )
-        has_kids = _take_node(tree.children_base, node) >= 0
-        return node, board, descending & has_kids, path, i + 1
+        return node, base, node_stats, board, descending & (base >= 0), path, i + 1
 
-    descending0 = active & (_take_node(tree.children_base, node0) >= 0)
+    base0 = tree.children_base[:, 0]
+    stats0 = tree.stats[:, 0, :]
+    descending0 = active & (base0 >= 0)
     path0 = jnp.full((batch, PATH_MAX), capacity, jnp.int32)
     path0 = path0.at[:, 0].set(jnp.where(active, 0, capacity))
-    leaf, leaf_board, _, path, _ = jax.lax.while_loop(
-        desc_cond, desc_body, (node0, root_state, descending0, path0, jnp.int32(0))
+    leaf, leaf_base, leaf_stats, leaf_board, _, path, _ = jax.lax.while_loop(
+        desc_cond,
+        desc_body,
+        (node0, base0, stats0, root_state, descending0, path0, jnp.int32(0)),
     )
 
     # --- single expansion of the (shared) leaf ----------------------------
+    # leaf_base/leaf_stats are the carried children_base[leaf] / stats[leaf]
     leaf_eval = _take_node(tree.evaluated, leaf)
-    leaf_term = _take_node(tree.stats, leaf)[..., _TERM] > 0.5
+    leaf_term = leaf_stats[..., _TERM] > 0.5
     expandable = active & leaf_eval & ~leaf_term
-    need_alloc = expandable & (_take_node(tree.children_base, leaf) < 0)
+    need_alloc = expandable & (leaf_base < 0)
 
     base = jnp.minimum(tree.next_free, capacity - WIDTH)
     children_base = _scatter_node(tree.children_base, leaf, base, need_alloc)
@@ -892,17 +945,24 @@ def _simulate_parallel(
 
     # --- sequential K-way fan-out over the leaf's children ----------------
     # each walker sees the previous walkers' virtual visits on the leaf's
-    # child block via a local [B, 7] counter (the only overlay state left)
+    # child block via a local [B, 7] counter (the only overlay state left).
+    # Everything except fan_ov is loop-invariant (the tree is not mutated
+    # between walkers), so the leaf gathers happen once, not K times.
     new_nodes, new_boards = [], []
     fan_ov = jnp.zeros((batch, WIDTH), jnp.float32)
     move_iota = jnp.arange(WIDTH, dtype=jnp.int32)
+    fan_valid = _descend_valid(leaf_board)
+    fan_side = (leaf_board.age % 2).astype(jnp.int32)
+    cb = _take_node(tree2.children_base, leaf)
+    fan_stats = _take_node(tree2.stats, leaf)  # [B, 4]
+    fan_child = _take_child_block(tree2.stats, cb)  # [B, 7, 4]
+    fan_prior = _take_node(tree2.prior, leaf)  # [B, 7]
     for _k in range(K):
-        valid = _descend_valid(leaf_board)
-        scores = _const_overlay_scores(
-            tree2, leaf, leaf_board, config, valid, K, fan_ov
+        scores = _const_overlay_score_parts(
+            fan_stats, fan_child, fan_prior, fan_side, config, fan_valid,
+            K, fan_ov,
         )
         move = _argmax_prefer_large(scores)
-        cb = _take_node(tree2.children_base, leaf)
         stepped = _light_step(leaf_board, move, expandable)
         cur = jnp.where(expandable, cb + move, leaf)
         fan_ov = fan_ov + (
