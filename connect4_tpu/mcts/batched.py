@@ -376,51 +376,45 @@ def _simulate_exact(
     # --- phase 1: descend to a childless node -------------------------
     # The walked path is recorded (lockstep: every still-descending game
     # is at depth i after i steps, so one column write per iteration)
-    # which turns the backup walk into a single scatter-add. The loop
-    # carries the current node's stats row + child-block base (selected
-    # out of this iteration's block gathers), cutting per-iteration
-    # gathers from 5 to 3 — see _simulate_parallel.
+    # which turns the backup walk into a single scatter-add.
+    # (A variant carrying the node's stats/children_base across
+    # iterations to trade two [B] gathers for loop-carried state measured
+    # a consistent ~4% SLOWER on v5e — the small gathers are cheaper than
+    # the extra carry traffic; see ENGINEERING_LOG round 4.)
     def desc_cond(carry):
-        _, _, _, _, descending, _, _, _ = carry
+        _, _, descending, _, _, _ = carry
         return jnp.any(descending)
 
     def desc_body(carry):
-        node, base, node_stats, board, descending, path, depth, i = carry
+        node, board, descending, path, depth, i = carry
         valid = _descend_valid(board)
-        side = (board.age % 2).astype(jnp.int32)
-        child = _take_child_block(tree.stats, base)  # [B, 7, 4]
-        prior_row = _take_node(tree.prior, node)  # [B, 7]
-        scores = _child_score_parts(node_stats, child, prior_row, side, config, valid)
+        scores = _child_scores(tree, node, board, config, valid)
         move = _argmax_prefer_large(scores)
+        base = _take_node(tree.children_base, node)
+        child = base + move
         board = _light_step(board, move, descending)
-        node = jnp.where(descending, base + move, node)
-        sel_stats = jnp.take_along_axis(child, move[:, None, None], axis=1)[:, 0]
-        node_stats = jnp.where(descending[:, None], sel_stats, node_stats)
-        cb_block = _take_child_block(tree.children_base, base)  # [B, 7]
-        sel_base = jnp.take_along_axis(cb_block, move[:, None], axis=1)[:, 0]
-        base = jnp.where(descending, sel_base, base)
+        node = jnp.where(descending, child, node)
         path = jax.lax.dynamic_update_slice(
             path, jnp.where(descending, node, capacity)[:, None], (0, i + 1)
         )
         depth = depth + descending.astype(jnp.int32)
-        return node, base, node_stats, board, descending & (base >= 0), path, depth, i + 1
+        has_kids = _take_node(tree.children_base, node) >= 0
+        return node, board, descending & has_kids, path, depth, i + 1
 
     node0 = jnp.zeros((batch,), jnp.int32)
-    base0 = tree.children_base[:, 0]
-    stats0 = tree.stats[:, 0, :]
-    descending0 = active & (base0 >= 0)
+    descending0 = active & (_take_node(tree.children_base, node0) >= 0)
     path0 = jnp.full((batch, PATH_MAX), capacity, jnp.int32)
     path0 = path0.at[:, 0].set(jnp.where(active, 0, capacity))
-    leaf, _, leaf_stats, leaf_board, _, path, depth, _ = jax.lax.while_loop(
+    leaf, leaf_board, _, path, depth, _ = jax.lax.while_loop(
         desc_cond,
         desc_body,
-        (node0, base0, stats0, root_state, descending0, path0,
-         jnp.zeros((batch,), jnp.int32), jnp.int32(0)),
+        (node0, root_state, descending0, path0, jnp.zeros((batch,), jnp.int32),
+         jnp.int32(0)),
     )
 
     # --- phase 2: expand evaluated non-terminal leaves ----------------
-    # leaf_stats is the carried stats[leaf] row from the descent
     leaf_eval = _take_node(tree.evaluated, leaf)
+    leaf_stats = _take_node(tree.stats, leaf)
     leaf_term = leaf_stats[..., _TERM] > 0.5
     need_expand = active & leaf_eval & ~leaf_term
 
@@ -864,54 +858,39 @@ def _simulate_parallel(
     node0 = jnp.zeros((batch,), jnp.int32)
 
     # --- single descent per game (identical for all K walkers) ------------
-    # Path recorded for the scatter-add backup (see _simulate_exact).
-    # The loop carries the current node's stats row and child-block base:
-    # the selected child's stats come out of this iteration's block gather
-    # and its base out of a children_base block gather, so no per-node
-    # re-gathers are needed next iteration (3 gathers/iter instead of 5).
+    # Path recorded for the scatter-add backup (see _simulate_exact; same
+    # gather-based loop — the carried-state variant measured slower).
     def desc_cond(carry):
-        _, _, _, _, descending, _, _ = carry
+        _, _, descending, _, _ = carry
         return jnp.any(descending)
 
     def desc_body(carry):
-        node, base, node_stats, board, descending, path, i = carry
+        node, board, descending, path, i = carry
         valid = _descend_valid(board)
-        side = (board.age % 2).astype(jnp.int32)
-        child = _take_child_block(tree.stats, base)  # [B, 7, 4]
-        prior_row = _take_node(tree.prior, node)  # [B, 7]
-        scores = _const_overlay_score_parts(
-            node_stats, child, prior_row, side, config, valid, K
-        )
+        scores = _const_overlay_scores(tree, node, board, config, valid, K)
         move = _argmax_prefer_large(scores)
+        base = _take_node(tree.children_base, node)
+        child = base + move
         board = _light_step(board, move, descending)
-        node = jnp.where(descending, base + move, node)
-        sel_stats = jnp.take_along_axis(child, move[:, None, None], axis=1)[:, 0]
-        node_stats = jnp.where(descending[:, None], sel_stats, node_stats)
-        cb_block = _take_child_block(tree.children_base, base)  # [B, 7]
-        sel_base = jnp.take_along_axis(cb_block, move[:, None], axis=1)[:, 0]
-        base = jnp.where(descending, sel_base, base)
+        node = jnp.where(descending, child, node)
         path = jax.lax.dynamic_update_slice(
             path, jnp.where(descending, node, capacity)[:, None], (0, i + 1)
         )
-        return node, base, node_stats, board, descending & (base >= 0), path, i + 1
+        has_kids = _take_node(tree.children_base, node) >= 0
+        return node, board, descending & has_kids, path, i + 1
 
-    base0 = tree.children_base[:, 0]
-    stats0 = tree.stats[:, 0, :]
-    descending0 = active & (base0 >= 0)
+    descending0 = active & (_take_node(tree.children_base, node0) >= 0)
     path0 = jnp.full((batch, PATH_MAX), capacity, jnp.int32)
     path0 = path0.at[:, 0].set(jnp.where(active, 0, capacity))
-    leaf, leaf_base, leaf_stats, leaf_board, _, path, _ = jax.lax.while_loop(
-        desc_cond,
-        desc_body,
-        (node0, base0, stats0, root_state, descending0, path0, jnp.int32(0)),
+    leaf, leaf_board, _, path, _ = jax.lax.while_loop(
+        desc_cond, desc_body, (node0, root_state, descending0, path0, jnp.int32(0))
     )
 
     # --- single expansion of the (shared) leaf ----------------------------
-    # leaf_base/leaf_stats are the carried children_base[leaf] / stats[leaf]
     leaf_eval = _take_node(tree.evaluated, leaf)
-    leaf_term = leaf_stats[..., _TERM] > 0.5
+    leaf_term = _take_node(tree.stats, leaf)[..., _TERM] > 0.5
     expandable = active & leaf_eval & ~leaf_term
-    need_alloc = expandable & (leaf_base < 0)
+    need_alloc = expandable & (_take_node(tree.children_base, leaf) < 0)
 
     base = jnp.minimum(tree.next_free, capacity - WIDTH)
     children_base = _scatter_node(tree.children_base, leaf, base, need_alloc)
