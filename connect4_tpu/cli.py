@@ -54,10 +54,12 @@ def _load_player(name, ckpt_dir, gen, net_config, sims, max_nodes=None):
         optimizer.init(variables["params"]),
     )
     if gen is None:
-        gen = ckpt.latest_generation(ckpt_dir)
-        if gen is None:
-            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
-    state, _ = ckpt.restore_checkpoint(ckpt_dir, gen, template, jax.random.key(0))
+        restored = ckpt.restore_latest(ckpt_dir, template, jax.random.key(0))
+        if restored is None:
+            raise FileNotFoundError(f"no readable checkpoints under {ckpt_dir}")
+        gen, state, _ = restored
+    else:
+        state, _ = ckpt.restore_checkpoint(ckpt_dir, gen, template, jax.random.key(0))
     evaluator = make_net_evaluator(net, state.params, state.batch_stats)
     return MatchPlayer(f"{name}(gen{gen})", evaluator, config)
 

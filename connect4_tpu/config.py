@@ -42,6 +42,18 @@ class ModelConfig:
     gamma: float = 0.1
     batch_size: int = 4096
     n_training_epochs: int = 5
+    # Draw-bucket extensions (defaults preserve exact reference semantics).
+    # draw_loss_weight > 1 upweights the value loss of positions from DRAWN
+    # games (the 0.5-target class is ~17% of self-play rows; the shipped
+    # nets spread predictions on drawn 8-ply positions almost uniformly
+    # over [0,1] — see scripts/draw_bucket_diagnosis.py).
+    draw_loss_weight: float = 1.0
+    # value_target_mix = λ trains the value head on (1-λ)·z + λ·q, where z
+    # is the final game result and q the search value of the move actually
+    # played (both absolute). λ>0 lowers target variance on long games —
+    # the standard (z+q)/2 trick — and is recoverable for past generations
+    # from games.npz (see replay.load_window_ex).
+    value_target_mix: float = 0.0
 
     def lr_at_generation(self, gen: int) -> float:
         """MultiStep schedule: decay by ``gamma`` at each milestone, stepped

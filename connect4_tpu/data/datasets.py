@@ -142,6 +142,21 @@ def bits_to_planes(o_bits: np.ndarray, x_bits: np.ndarray, age_parity_o: bool = 
 ABORTED = -128
 
 
+def _remove_stale_tmps(out_path: str) -> None:
+    """Drop leftover ``<out_path>.tmp-<pid>.npz`` siblings from writer
+    processes that died between ``savez`` and ``os.replace``. Harmless to
+    correctness (readers only open the final path) but they accumulate;
+    live writers are not affected because each uses its own pid suffix."""
+    import glob
+
+    for stale in glob.glob(f"{out_path}.tmp-*.npz"):
+        if stale != f"{out_path}.tmp-{os.getpid()}.npz":
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
+
+
 def _atomic_savez(path: str, compressed: bool, **arrays) -> None:
     """Write an npz atomically: savez to a same-directory temp file, then
     ``os.replace`` onto the final path. Concurrent readers (the 7-ply
@@ -202,6 +217,8 @@ def build_8ply(
         positions = positions[:limit]
 
     partial = out_path + ".partial.npz"
+    _remove_stale_tmps(out_path)
+    _remove_stale_tmps(partial)
     values = np.full(len(positions), np.nan, dtype=np.float32)
     # highest node budget that failed to solve each position, so a
     # restarted build never re-runs a budget pass a previous process
@@ -314,7 +331,9 @@ def _load_8ply_status(table_path: str) -> Tuple[dict, set]:
                         pending.add((o_b, x_b))
                         pending.add((_mirror(o_b), _mirror(x_b)))
             return table, pending
-        except (zipfile.BadZipFile, EOFError, OSError, KeyError, ValueError):
+        except FileNotFoundError:
+            raise  # a vanished table file is not transient
+        except (zipfile.BadZipFile, EOFError, OSError, ValueError):
             if attempt == 4:
                 raise
             table.clear()
@@ -356,6 +375,8 @@ def build_7ply(
         ips = ips[:limit]
 
     partial = out_path + ".partial.npz"
+    _remove_stale_tmps(out_path)
+    _remove_stale_tmps(partial)
     values = np.full(len(ips), np.nan, dtype=np.float32)
     policies = np.zeros((len(ips), WIDTH), dtype=np.float32)
     start = 0

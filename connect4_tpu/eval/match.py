@@ -65,6 +65,13 @@ def _play_sub_batch(
     searches = {Side.o: search_o, Side.x: search_x}
     step_fn = jax.jit(step)
 
+    ages = {b.age for b in boards}
+    if len(ages) != 1:
+        raise ValueError(
+            "play_match start boards must share a single start age (the "
+            "lockstep driver derives the side to move from the shared ply "
+            f"counter); got ages {sorted(ages)}"
+        )
     start_age = boards[0].age
     max_plies = AREA - start_age
     for i in range(max_plies):

@@ -778,11 +778,13 @@ def _const_overlay_score_parts(
 ) -> jax.Array:
     """``_const_overlay_scores`` on pre-gathered inputs.
 
-    The descent loop carries the current node's stats row and child-block
-    base across iterations (the selected child's stats were already in
-    this iteration's block gather), so the per-iteration node-stats and
-    children-base gathers disappear; the arithmetic is unchanged
-    (bitwise-equal scores)."""
+    Used by the K-way leaf fan-out, which pre-gathers its loop-invariant
+    inputs (the fan-out node's stats row and child block) once and scores
+    all K candidates against them. The descent loop intentionally remains
+    gather-based (``_const_overlay_scores``): carrying the stats row and
+    child-block base across descent iterations was implemented and
+    measured slower (see the comment in ``_simulate_parallel``). The
+    arithmetic here is unchanged (bitwise-equal scores)."""
     parent_visits = node_stats[..., _VISITS] + jnp.float32(k)
     log_term = jnp.log(
         (parent_visits + jnp.float32(config.pb_c_base) + 1.0)

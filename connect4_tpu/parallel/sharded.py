@@ -44,19 +44,24 @@ def make_sharded_play_fn(
     return jax.jit(run)
 
 
-def make_sharded_train_step(net, optimizer, mesh: Mesh):
+def make_sharded_train_step(net, optimizer, mesh: Mesh, weighted: bool = False):
     """DP train step: replicated state, data-sharded batch, replicated
-    output (grad all-reduce inserted by the partitioner)."""
-    step = make_train_step(net, optimizer)
+    output (grad all-reduce inserted by the partitioner). The weighted
+    value loss normalises by the GLOBAL weight sum (both reductions are
+    full-batch sums the partitioner turns into psums), so sharded and
+    single-device results agree."""
+    step = make_train_step(net, optimizer, weighted=weighted)
 
     rep = replicated(mesh)
     data = data_sharding(mesh)
 
-    def annotated(state: TrainState, planes, values, priors):
+    def annotated(state: TrainState, planes, values, priors, weights=None):
         planes = constrain_data(planes, mesh)
         values = constrain_data(values, mesh)
         priors = constrain_data(priors, mesh)
-        new_state, metrics = step(state, planes, values, priors)
+        if weights is not None:
+            weights = constrain_data(weights, mesh)
+        new_state, metrics = step(state, planes, values, priors, weights)
         return new_state, metrics
 
     return jax.jit(annotated, out_shardings=(rep, rep))

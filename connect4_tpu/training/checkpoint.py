@@ -62,14 +62,41 @@ def restore_checkpoint(
     return state, key
 
 
-def latest_generation(save_dir: str) -> Optional[int]:
-    """Highest numeric subdirectory containing a checkpoint, or None."""
+def checkpoint_generations(save_dir: str) -> list[int]:
+    """All numeric subdirectories containing a checkpoint dir, ascending."""
     if not os.path.isdir(save_dir):
-        return None
+        return []
     gens = []
     for name in os.listdir(save_dir):
         if re.fullmatch(r"\d+", name) and os.path.isdir(
             os.path.join(save_dir, name, "ckpt")
         ):
             gens.append(int(name))
-    return max(gens) if gens else None
+    return sorted(gens)
+
+
+def latest_generation(save_dir: str) -> Optional[int]:
+    """Highest numeric subdirectory containing a checkpoint, or None."""
+    gens = checkpoint_generations(save_dir)
+    return gens[-1] if gens else None
+
+
+def restore_latest(
+    save_dir: str, template_state: TrainState, template_key: jax.Array
+) -> Optional[Tuple[int, TrainState, jax.Array]]:
+    """Restore the newest *readable* checkpoint, falling back one
+    generation at a time past half-written/corrupt directories (a crash
+    during ``save_checkpoint`` can leave a partial Orbax dir behind). The
+    reference handles the same failure by dropping back one generation
+    (``/root/reference/oinkoink/neural/training.py:30-47``). Returns
+    ``(gen, state, key)`` or ``None`` when no checkpoint is readable."""
+    for gen in reversed(checkpoint_generations(save_dir)):
+        try:
+            state, key = restore_checkpoint(save_dir, gen, template_state, template_key)
+            return gen, state, key
+        except Exception as exc:  # orbax raises various types on partial dirs
+            print(
+                f"checkpoint for generation {gen} is unreadable "
+                f"({type(exc).__name__}: {exc}); falling back one generation"
+            )
+    return None

@@ -64,6 +64,7 @@ def loss_fn(
     value_targets: jax.Array,
     prior_targets: jax.Array,
     train: bool,
+    value_weights: jax.Array | None = None,
 ):
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
@@ -74,24 +75,41 @@ def loss_fn(
     else:
         value, prior = net.apply(variables, planes_nhwc, train=False)
         new_stats = batch_stats
-    value_loss = jnp.mean((value - value_targets) ** 2)
+    sq = (value - value_targets) ** 2
+    if value_weights is None:
+        value_loss = jnp.mean(sq)
+    else:
+        # weighted mean with per-batch renormalisation so the loss scale
+        # (and therefore the LR) is unchanged whatever the batch's draw mix
+        value_loss = jnp.sum(value_weights * sq) / jnp.sum(value_weights)
     prior_loss = bce_loss(prior, prior_targets)
     return value_loss + prior_loss, (value_loss, prior_loss, value, prior, new_stats)
 
 
-def make_train_step(net: Connect4Net, optimizer: optax.GradientTransformation):
-    """Returns a jittable ``(state, planes, values, priors) -> (state, metrics)``."""
+def make_train_step(
+    net: Connect4Net,
+    optimizer: optax.GradientTransformation,
+    weighted: bool = False,
+):
+    """Returns a jittable ``(state, planes, values, priors) -> (state, metrics)``.
+
+    With ``weighted=True`` the step takes an extra per-sample value-loss
+    weight array ``(state, planes, values, priors, weights)`` — used by the
+    ``draw_loss_weight`` extension; the default path is unchanged
+    (bitwise-identical to the reference semantics)."""
 
     def train_step(
         state: TrainState,
         planes_nhwc: jax.Array,
         value_targets: jax.Array,
         prior_targets: jax.Array,
+        value_weights: jax.Array | None = None,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         def wrapped(params):
             return loss_fn(
                 net, params, state.batch_stats, planes_nhwc, value_targets,
                 prior_targets, train=True,
+                value_weights=value_weights if weighted else None,
             )
 
         (total, (v_loss, p_loss, _, _, new_stats)), grads = jax.value_and_grad(

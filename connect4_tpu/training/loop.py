@@ -82,12 +82,10 @@ class TrainingLoop:
         )
         self.key = jax.random.key(config.seed + 1)
 
-        latest = ckpt.latest_generation(self.save_dir)
-        if latest is not None:
+        restored = ckpt.restore_latest(self.save_dir, self.state, self.key)
+        if restored is not None:
+            latest, self.state, self.key = restored
             print(f"Resuming from generation {latest}")
-            self.state, self.key = ckpt.restore_checkpoint(
-                self.save_dir, latest, self.state, self.key
-            )
             self.gen = latest + 1
         else:
             self.gen = 1
@@ -102,12 +100,15 @@ class TrainingLoop:
             self.state = jax.device_put(self.state, rep)
             self.key = jax.device_put(self.key, rep)
 
-        self.train_step = jax.jit(make_train_step(self.net, self.optimizer))
+        weighted = config.model_config.draw_loss_weight != 1.0
+        self.train_step = jax.jit(
+            make_train_step(self.net, self.optimizer, weighted=weighted)
+        )
         if self.mesh is not None:
             from connect4_tpu.parallel.sharded import make_sharded_train_step
 
             self.sharded_train_step = make_sharded_train_step(
-                self.net, self.optimizer, self.mesh
+                self.net, self.optimizer, self.mesh, weighted=weighted
             )
         self.forward = jax.jit(make_eval_fn(self.net))
 
@@ -138,7 +139,7 @@ class TrainingLoop:
             print("Loop: ", self.gen)
             self._loop()
             self._evaluate()
-            if self.gen % self.config.n_eval == 0:
+            if self.config.n_eval > 0 and self.gen % self.config.n_eval == 0:
                 self._match()
             self._render_plots()
             self.gen += 1
@@ -220,8 +221,15 @@ class TrainingLoop:
         return int(sum(o.mask.sum() for o in outputs))
 
     def _train(self) -> None:
-        planes, values, policies = replay.load_window(self.save_dir, self.gen)
         mc = self.config.model_config
+        use_ext = mc.draw_loss_weight != 1.0 or mc.value_target_mix > 0.0
+        if use_ext:
+            planes, values, policies, weights = replay.load_window_ex(
+                self.save_dir, self.gen, mc.value_target_mix, mc.draw_loss_weight
+            )
+        else:
+            planes, values, policies = replay.load_window(self.save_dir, self.gen)
+            weights = None
 
         lr = mc.lr_at_generation(self.gen)
         self.state = self.state._replace(
@@ -234,6 +242,7 @@ class TrainingLoop:
         planes_d = jnp.asarray(np.moveaxis(planes, 1, -1), dtype=jnp.float32)
         values_d = jnp.asarray(values)
         policies_d = jnp.asarray(policies)
+        weights_d = jnp.asarray(weights) if weights is not None else None
 
         n_dev = 1
         if self.mesh is not None:
@@ -251,6 +260,8 @@ class TrainingLoop:
                     jnp.take(values_d, idx, axis=0),
                     jnp.take(policies_d, idx, axis=0),
                 )
+                if weights_d is not None:
+                    batch = batch + (jnp.take(weights_d, idx, axis=0),)
                 # DP-shard full batches over the mesh; the (rare) tail
                 # batch that does not divide runs replicated so the math
                 # stays exactly the reference's drop_last=False pass

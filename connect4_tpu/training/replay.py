@@ -11,7 +11,7 @@ generations, concatenated — identical to ``get_dataset``
 from __future__ import annotations
 
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -97,6 +97,78 @@ def load_window(
         np.concatenate(planes),
         np.concatenate(values),
         np.concatenate(policies),
+    )
+
+
+def _recover_q(folder: str, z_values: np.ndarray) -> Optional[np.ndarray]:
+    """Per-row search values (q) for a generation's ``data.npz`` rows,
+    reconstructed from ``games.npz``.
+
+    ``training_arrays`` emits rows as ``[selected, mirrored-duplicates]``
+    in ``np.nonzero(mask)`` order, so ``move_values[nonzero(mask)]``
+    duplicated twice lines up exactly — *when the generation was written
+    in one part*. Alignment is verified by recomputing the z column the
+    same way and requiring an exact match against the stored values (a
+    multi-part ``append_generation`` interleaves parts and fails this
+    check); returns None when q cannot be recovered.
+    """
+    games_path = os.path.join(folder, "games.npz")
+    if not os.path.exists(games_path):
+        return None
+    with np.load(games_path) as g:
+        mask = g["mask"]
+        move_values = g["move_values"]
+        results = g["result"]
+    b_idx, t_idx = np.nonzero(mask)
+    if 2 * len(b_idx) != len(z_values):
+        return None
+    from connect4_tpu.env.core import result_value
+
+    z_check = np.asarray(result_value(results))[b_idx].astype(np.float32)
+    expected = np.concatenate([z_check, z_check])
+    if not np.array_equal(expected, z_values):
+        return None
+    q = move_values[b_idx, t_idx].astype(np.float32)
+    return np.concatenate([q, q])
+
+
+def load_window_ex(
+    save_dir: str,
+    gen: int,
+    value_target_mix: float = 0.0,
+    draw_loss_weight: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """``load_window`` plus the draw-bucket training extensions: value
+    targets mixed with per-move search values ((1-λ)z + λq) and a
+    per-row value-loss weight array (``draw_loss_weight`` on rows from
+    drawn games, 1 elsewhere; None when no weighting is requested).
+
+    Generations whose q cannot be recovered (no games.npz, or multi-part
+    alignment) fall back to pure-z targets for their rows."""
+    n = window_size(gen)
+    planes, values, policies, weights = [], [], [], []
+    lam = float(value_target_mix)
+    for g in range(gen, gen - n, -1):
+        folder = generation_dir(save_dir, g)
+        with np.load(os.path.join(folder, "data.npz")) as data:
+            planes.append(data["planes"])
+            z = data["values"].astype(np.float32)
+            policies.append(data["policies"])
+        target = z
+        if lam > 0.0:
+            q = _recover_q(folder, z)
+            if q is not None:
+                target = (1.0 - lam) * z + lam * q
+        values.append(target)
+        weights.append(
+            np.where(z == 0.5, np.float32(draw_loss_weight), np.float32(1.0))
+        )
+    w = np.concatenate(weights) if draw_loss_weight != 1.0 else None
+    return (
+        np.concatenate(planes),
+        np.concatenate(values),
+        np.concatenate(policies),
+        w,
     )
 
 

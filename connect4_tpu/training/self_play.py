@@ -387,6 +387,11 @@ def make_refill_play_fn(
                 if not live:
                     break
             pending_live = live_dev
+        else:
+            # Safety-bound exit (no drain): flush the final wave's live
+            # count so the progress callback is not left one wave behind.
+            if pending_live is not None and progress is not None:
+                progress(wave, int(np.asarray(pending_live)))
         planes, moves, values, policies, mask = bufs
         return SelfPlayOutput(
             planes=planes,

@@ -41,6 +41,8 @@ def np_load_retry(path: str, attempts: int = 5):
     for attempt in range(attempts):
         try:
             return np.load(path)
+        except FileNotFoundError:
+            raise  # a missing file is not transient — surface it now
         except (zipfile.BadZipFile, EOFError, OSError, ValueError):
             if attempt == attempts - 1:
                 raise

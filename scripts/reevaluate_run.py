@@ -68,9 +68,9 @@ def main():
         int(d) for d in os.listdir(save_dir)
         if d.isdigit() and os.path.isdir(os.path.join(save_dir, d, "ckpt"))
     )
-    gens = [g for g in gens if g % args.stride == 0 or g == gens[-1]]
     if not gens:
         sys.exit(f"no generation checkpoints under {save_dir}")
+    gens = [g for g in gens if g % args.stride == 0 or g == gens[-1]]
 
     def load_set(name, with_policy):
         path = os.path.join(data_dir, name)

@@ -164,7 +164,11 @@ def test_device_terminal_detection(rows, expected):
     board = HostBoard.from_pieces(o, x)
     moves = _move_sequence_for(board)
     if moves is None:
-        pytest.skip("position not reachable move-by-move in a simple order")
+        # Not reachable move-by-move in greedy order (e.g. both players
+        # hold winning lines): drive the device env via the packed state
+        # instead, so these table rows still exercise the device path.
+        _check_device_state_consistency(board, expected)
+        return
     state = initial_state(())
     host = HostBoard()
     for mv in moves:
@@ -174,6 +178,29 @@ def test_device_terminal_detection(rows, expected):
     code = int(state.result)
     got = Result.from_code(code)
     assert got == expected_host
+
+
+def _check_device_state_consistency(board, expected):
+    """Pack a host board with ``stack_boards`` and verify the device env's
+    view of it: legal-move masking, terminal result value, and that
+    ``step`` freezes a finished game (result/age/pieces unchanged)."""
+    from connect4_tpu.env.convert import stack_boards
+
+    state = jax.tree.map(lambda a: a[0], stack_boards([board]))
+    legal = np.asarray(jax.jit(legal_moves)(state))
+    if expected is None:
+        open_cols = board.pieces.sum(axis=(0, 1)) < HEIGHT
+        assert (legal == open_cols).all()
+    else:
+        assert not legal.any()  # finished game: no legal moves
+        want = {Result.o_win: 1.0, Result.x_win: 0.0, Result.draw: 0.5}[expected]
+        assert float(jax.jit(result_value)(state.result)) == want
+        # the device step must freeze a terminal state, whatever move is fed
+        for mv in range(WIDTH):
+            nxt = _jit_step(state, jnp.int32(mv))
+            assert int(nxt.result) == int(state.result)
+            assert int(nxt.age) == int(state.age)
+            assert (np.asarray(nxt.pieces) == np.asarray(state.pieces)).all()
 
 
 def test_device_has_four_table():

@@ -52,3 +52,23 @@ def test_start_positions_two_ply():
         display=False,
     )
     assert res["wins"] + res["draws"] + res["losses"] == 98
+
+
+def test_mixed_age_start_boards_rejected():
+    """The lockstep driver derives side-to-move from a shared ply counter,
+    so start boards of different ages would silently route moves to the
+    wrong player's search — it must refuse instead."""
+    import pytest
+
+    from connect4_tpu.env.host_board import HostBoard
+
+    b0 = HostBoard()
+    b1 = HostBoard()
+    b1.make_move(3)
+    with pytest.raises(ValueError, match="start age"):
+        play_match(
+            _player("a", sims=4),
+            _player("b", sims=4),
+            start_boards=[b0, b1],
+            display=False,
+        )

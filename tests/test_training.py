@@ -147,3 +147,89 @@ def test_training_loop_end_to_end_and_resume(tmp_path):
         jax.tree_util.tree_leaves(loop.state.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # A crash mid-save can leave a half-written checkpoint dir behind;
+    # resume must fall back one generation (reference behaviour:
+    # neural/training.py:30-47), not crash.
+    import shutil
+
+    g2_ckpt = os.path.join(str(tmp_path), "2", "ckpt")
+    shutil.rmtree(g2_ckpt)
+    os.makedirs(g2_ckpt)  # present but empty: unreadable by orbax
+    fallback = TrainingLoop(config)
+    assert fallback.gen == 2  # restored gen 1, continues at gen 2
+    from connect4_tpu.training import checkpoint as ckpt_mod
+
+    state1, _ = ckpt_mod.restore_checkpoint(
+        str(tmp_path), 1, fallback.state, jax.random.key(0)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(fallback.state.params),
+        jax.tree_util.tree_leaves(state1.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_window_ex_q_recovery_and_weights(tmp_path):
+    """q (search-value) recovery must line up exactly with data.npz rows,
+    and the draw-weight column must mark drawn-game rows only."""
+    out = _small_output()
+    replay.save_generation(str(tmp_path), 1, out)
+
+    planes, z, policies = replay.load_window(str(tmp_path), 1)
+    p2, mixed, pol2, w = replay.load_window_ex(
+        str(tmp_path), 1, value_target_mix=0.5, draw_loss_weight=4.0
+    )
+    np.testing.assert_array_equal(planes, p2)
+    np.testing.assert_array_equal(policies, pol2)
+
+    # reconstruct the expected mix by hand from the raw output
+    mask = np.asarray(out.mask)
+    b_idx, t_idx = np.nonzero(mask)
+    q_sel = np.asarray(out.move_values)[b_idx, t_idx].astype(np.float32)
+    q_rows = np.concatenate([q_sel, q_sel])
+    np.testing.assert_allclose(mixed, 0.5 * z + 0.5 * q_rows, rtol=0, atol=1e-7)
+
+    assert w is not None
+    np.testing.assert_array_equal(w, np.where(z == 0.5, 4.0, 1.0).astype(np.float32))
+
+    # λ=0 and weight=1: identical to the classic loader, weights omitted
+    _, z0, _, w0 = replay.load_window_ex(str(tmp_path), 1)
+    np.testing.assert_array_equal(z0, z)
+    assert w0 is None
+
+
+def test_weighted_train_step_ones_is_identity():
+    """weighted=True with all-ones weights must reproduce the unweighted
+    step bitwise (the extension cannot perturb reference semantics)."""
+    from connect4_tpu.training.learner import make_train_step
+
+    cfg = ModelConfig(net_config=NetConfig(filters=4, n_fc_layers=1, n_residuals=1))
+    _, variables = init_net(cfg.net_config, jax.random.key(0))
+    opt = make_optimizer(cfg)
+    state = TrainState(
+        variables["params"], variables["batch_stats"], opt.init(variables["params"])
+    )
+    rng = np.random.default_rng(0)
+    planes = jnp.asarray(rng.random((16, 6, 7, 3), dtype=np.float32))
+    values = jnp.asarray(rng.choice([0.0, 0.5, 1.0], 16).astype(np.float32))
+    priors = jnp.asarray(np.full((16, 7), 1 / 7, dtype=np.float32))
+
+    step_u = jax.jit(make_train_step(_net_for(cfg), opt))
+    step_w = jax.jit(make_train_step(_net_for(cfg), opt, weighted=True))
+    s1, m1 = step_u(state, planes, values, priors)
+    s2, m2 = step_w(state, planes, values, priors, jnp.ones(16, jnp.float32))
+    for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(m1["loss"]) == float(m2["loss"])
+
+    # and a non-uniform weighting changes the value loss but not its scale
+    w = jnp.where(values == 0.5, 4.0, 1.0)
+    _, m3 = step_w(state, planes, values, priors, w)
+    assert float(m3["prior_loss"]) == float(m2["prior_loss"])
+    assert float(m3["value_loss"]) != float(m2["value_loss"])
+
+
+def _net_for(cfg):
+    net, _ = init_net(cfg.net_config, jax.random.key(0))
+    return net
