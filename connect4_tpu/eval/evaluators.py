@@ -70,12 +70,33 @@ def centre_evaluator_batched(state: BoardState) -> Tuple[jax.Array, jax.Array]:
     return value, prior
 
 
-def make_net_evaluator(net, params, batch_stats) -> BatchedEvaluator:
+def make_net_evaluator(net, params, batch_stats, fold_bn: bool = True) -> BatchedEvaluator:
     """Wrap a Flax net into the batched evaluator interface. Leaf boards are
     encoded on-device and evaluated in one forward — the role the
     reference's cross-process InferenceServer played
-    (``/root/reference/oinkoink/neural/inference_server.py:37-63``)."""
+    (``/root/reference/oinkoink/neural/inference_server.py:37-63``).
+
+    ``fold_bn=True`` (default) folds the frozen BatchNorms into the conv
+    kernels once at construction and runs the pure-bf16 ``InferenceNet``
+    tower — exact in real arithmetic, and the forward is ~50% of every
+    search wave (``scripts/selfplay_breakdown.py``). Pass ``False`` for
+    the training-mode apply (bitwise-identical to ``make_eval_fn``)."""
     from connect4_tpu.env.core import to_planes
+
+    if fold_bn:
+        from connect4_tpu.models.net import InferenceNet, fold_bn_params
+
+        inf_net = InferenceNet(net.config)
+        folded = jax.jit(
+            lambda p, s: fold_bn_params(net.config, p, s)
+        )(params, batch_stats)
+
+        def evaluate(state: BoardState):
+            planes = to_planes(state)  # [..., 3, 6, 7]
+            nhwc = jnp.moveaxis(planes, -3, -1)
+            return inf_net.apply({"params": folded}, nhwc)
+
+        return evaluate
 
     def evaluate(state: BoardState):
         planes = to_planes(state)  # [..., 3, 6, 7]

@@ -133,3 +133,131 @@ def init_net(
 
 def count_params(params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Folded-BN inference path
+#
+# At inference BatchNorm is an affine map with frozen statistics, so it
+# folds exactly into the preceding convolution's kernel/bias:
+#     s = gamma / sqrt(var + eps);  y = s * conv(x) + (beta - s * mean)
+# The folded tower therefore runs conv+bias+LeakyReLU chains entirely in
+# bfloat16 with no f32 BN round-trips between layers — about half the HBM
+# traffic of the training-mode apply at the self-play fan-out batch shape,
+# where the network forward is ~50% of each search wave
+# (scripts/selfplay_breakdown.py). Equality with the unfolded net is exact
+# in real arithmetic; bf16 rounding differences are covered by
+# tests/test_model.py.
+
+
+class _InfConvBlock(nn.Module):
+    filters: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        return _lrelu(x)
+
+
+class _InfResidualBlock(nn.Module):
+    filters: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        y = _lrelu(y)
+        y = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=self.dtype)(y)
+        return _lrelu(y + residual)
+
+
+class _InfValueHead(nn.Module):
+    n_fc_layers: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(1, (1, 1), dtype=self.dtype)(x)
+        x = _lrelu(x)
+        x = x.reshape(x.shape[0], -1)
+        for _ in range(self.n_fc_layers):
+            x = nn.Dense(AREA, dtype=self.dtype)(x)
+        x = _lrelu(x)
+        x = nn.Dense(1, dtype=self.dtype)(x)
+        x = jnp.tanh(x.astype(jnp.float32))
+        return ((x + 1.0) * 0.5).reshape(-1)
+
+
+class _InfPolicyHead(nn.Module):
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(2, (1, 1), dtype=self.dtype)(x)
+        x = _lrelu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(WIDTH, dtype=self.dtype)(x)
+        return jax.nn.softmax(x.astype(jnp.float32), axis=-1)
+
+
+class InferenceNet(nn.Module):
+    """``Connect4Net`` with every BatchNorm folded away (inference only)."""
+
+    config: NetConfig
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
+        x = x.astype(dtype)
+        x = _InfConvBlock(self.config.filters, dtype)(x)
+        for _ in range(self.config.n_residuals):
+            x = _InfResidualBlock(self.config.filters, dtype)(x)
+        value = _InfValueHead(self.config.n_fc_layers, dtype)(x)
+        prior = _InfPolicyHead(dtype)(x)
+        return value, prior
+
+
+def _fold_conv_bn(conv: Dict, bn_params: Dict, bn_stats: Dict, eps: float = 1e-5):
+    """Fold one (Conv, BatchNorm) pair into a biased conv, exactly."""
+    s = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + eps)
+    kernel = conv["kernel"] * s  # broadcast over the output-channel axis
+    bias = bn_params["bias"] - bn_stats["mean"] * s
+    if "bias" in conv:
+        bias = bias + conv["bias"] * s
+    return {"kernel": kernel, "bias": bias}
+
+
+def fold_bn_params(config: NetConfig, params: Dict, batch_stats: Dict) -> Dict:
+    """Folded parameter tree for ``InferenceNet`` from trained
+    ``Connect4Net`` variables. Pure jnp; cheap enough to run per
+    generation."""
+    folded: Dict[str, Any] = {}
+    folded["_InfConvBlock_0"] = {
+        "Conv_0": _fold_conv_bn(
+            params["_ConvBlock_0"]["Conv_0"],
+            params["_ConvBlock_0"]["BatchNorm_0"],
+            batch_stats["_ConvBlock_0"]["BatchNorm_0"],
+        )
+    }
+    for i in range(config.n_residuals):
+        src = params[f"_ResidualBlock_{i}"]
+        sst = batch_stats[f"_ResidualBlock_{i}"]
+        folded[f"_InfResidualBlock_{i}"] = {
+            "Conv_0": _fold_conv_bn(src["Conv_0"], src["BatchNorm_0"], sst["BatchNorm_0"]),
+            "Conv_1": _fold_conv_bn(src["Conv_1"], src["BatchNorm_1"], sst["BatchNorm_1"]),
+        }
+    vh = params["_ValueHead_0"]
+    vhs = batch_stats["_ValueHead_0"]
+    folded["_InfValueHead_0"] = {
+        "Conv_0": _fold_conv_bn(vh["Conv_0"], vh["BatchNorm_0"], vhs["BatchNorm_0"]),
+        **{k: v for k, v in vh.items() if k.startswith("Dense_")},
+    }
+    ph = params["_PolicyHead_0"]
+    phs = batch_stats["_PolicyHead_0"]
+    folded["_InfPolicyHead_0"] = {
+        "Conv_0": _fold_conv_bn(ph["Conv_0"], ph["BatchNorm_0"], phs["BatchNorm_0"]),
+        "Dense_0": ph["Dense_0"],
+    }
+    return folded

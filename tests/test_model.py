@@ -103,3 +103,53 @@ def test_overfit_tiny_batch():
     value, prior = forward(state.params, state.batch_stats, x)
     assert np.isfinite(np.asarray(value)).all()
     assert np.isfinite(np.asarray(prior)).all()
+
+
+def test_folded_bn_inference_matches_training_apply():
+    """InferenceNet with fold_bn_params must reproduce the training-mode
+    net's inference forward: exactly in f32, to bf16 rounding otherwise.
+    (The folded tower is the self-play evaluator's default path.)"""
+    import jax.numpy as jnp
+
+    from connect4_tpu.models.net import InferenceNet, fold_bn_params
+
+    for dtype, vtol, ptol in (("float32", 0.0, 1e-6), ("bfloat16", 1e-3, 5e-3)):
+        cfg = NetConfig(
+            filters=16, n_fc_layers=2, n_residuals=2, compute_dtype=dtype
+        )
+        net, variables = init_net(cfg, jax.random.key(0))
+        # perturb the running stats so folding is non-trivial
+        bs = jax.tree_util.tree_map(
+            lambda a: a + 0.3 * jnp.abs(a) + 0.05, variables["batch_stats"]
+        )
+        x = jax.random.uniform(jax.random.key(1), (32, 6, 7, 3))
+        v1, p1 = net.apply(
+            {"params": variables["params"], "batch_stats": bs}, x, train=False
+        )
+        folded = fold_bn_params(cfg, variables["params"], bs)
+        v2, p2 = InferenceNet(cfg).apply({"params": folded}, x)
+        assert float(jnp.abs(v1 - v2).max()) <= vtol
+        assert float(jnp.abs(p1 - p2).max()) <= ptol
+
+
+def test_net_evaluator_folded_matches_unfolded():
+    """The default (folded) net evaluator agrees with the training-mode
+    evaluator on real board states."""
+    import numpy as np
+
+    from connect4_tpu.env.core import initial_state, step
+    from connect4_tpu.eval.evaluators import make_net_evaluator
+
+    cfg = NetConfig(filters=8, n_fc_layers=1, n_residuals=1)
+    net, variables = init_net(cfg, jax.random.key(0))
+    state = initial_state((4,))
+    for mv in (3, 2, 3, 4):
+        state = jax.jit(step)(state, jnp.full((4,), mv, jnp.int32))
+    ev_fold = make_net_evaluator(net, variables["params"], variables["batch_stats"])
+    ev_ref = make_net_evaluator(
+        net, variables["params"], variables["batch_stats"], fold_bn=False
+    )
+    v1, p1 = jax.jit(ev_fold)(state)
+    v2, p2 = jax.jit(ev_ref)(state)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
