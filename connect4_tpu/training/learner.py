@@ -105,6 +105,14 @@ def make_train_step(
         prior_targets: jax.Array,
         value_weights: jax.Array | None = None,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        if planes_nhwc.dtype == jnp.uint8:
+            # storage layout: the replay window stays device-resident in
+            # its on-disk uint8 NCHW form (4x smaller than f32 NHWC); the
+            # conversion is fused into the step so values are identical
+            planes_nhwc = jnp.transpose(planes_nhwc, (0, 2, 3, 1)).astype(
+                jnp.float32
+            )
+
         def wrapped(params):
             return loss_fn(
                 net, params, state.batch_stats, planes_nhwc, value_targets,

@@ -233,3 +233,28 @@ def test_weighted_train_step_ones_is_identity():
 def _net_for(cfg):
     net, _ = init_net(cfg.net_config, jax.random.key(0))
     return net
+
+
+def test_uint8_nchw_train_step_matches_f32_nhwc():
+    """The storage-layout fast path (uint8 NCHW batches, conversion fused
+    into the step) must match the classic f32 NHWC path bitwise."""
+    from connect4_tpu.training.learner import make_train_step
+
+    cfg = ModelConfig(net_config=NetConfig(filters=4, n_fc_layers=1, n_residuals=1))
+    net, variables = init_net(cfg.net_config, jax.random.key(0))
+    opt = make_optimizer(cfg)
+    state = TrainState(
+        variables["params"], variables["batch_stats"], opt.init(variables["params"])
+    )
+    rng = np.random.default_rng(1)
+    planes_u8 = jnp.asarray(rng.integers(0, 2, (16, 3, 6, 7)).astype(np.uint8))
+    planes_f32 = jnp.transpose(planes_u8, (0, 2, 3, 1)).astype(jnp.float32)
+    values = jnp.asarray(rng.choice([0.0, 0.5, 1.0], 16).astype(np.float32))
+    priors = jnp.asarray(np.full((16, 7), 1 / 7, dtype=np.float32))
+
+    step = jax.jit(make_train_step(net, opt))
+    s1, m1 = step(state, planes_f32, values, priors)
+    s2, m2 = step(state, planes_u8, values, priors)
+    for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(m1["loss"]) == float(m2["loss"])
