@@ -126,7 +126,9 @@ def main():
 
     planes, values, policies = training_arrays(out)
     n = len(values)
-    planes_d = jnp.asarray(np.moveaxis(planes, 1, -1), dtype=jnp.float32)
+    # stored uint8 NCHW layout; the train step fuses the f32/NHWC
+    # conversion (same path as TrainingLoop._train)
+    planes_d = jnp.asarray(planes)
     values_d = jnp.asarray(values)
     policies_d = jnp.asarray(policies)
     batch_size = min(model_config.batch_size, n)
