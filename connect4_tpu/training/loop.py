@@ -377,7 +377,24 @@ class TrainingLoop:
                 "Evaluate_centre_with_prior", centre_evaluator_batched, opponent_cfg
             )
         else:
+            # Opponent is the checkpoint from 10 generations ago when it
+            # exists; a run continued from a packaged checkpoint has no
+            # such history, so fall back to the nearest available older
+            # generation (else the oldest on disk) rather than crash.
             old_gen = self.gen - 10
+            available = [
+                g for g in ckpt.checkpoint_generations(self.save_dir)
+                if g < self.gen
+            ]
+            older = [g for g in available if g <= old_gen]
+            fallback = max(older) if older else min(available)
+            if fallback != old_gen:
+                print(
+                    f"gating: no checkpoint for generation {old_gen}; "
+                    f"using generation {fallback} instead",
+                    flush=True,
+                )
+                old_gen = fallback
             _, variables = init_net(
                 self.config.model_config.net_config, jax.random.key(0)
             )

@@ -81,13 +81,41 @@ def append_generation(save_dir: str, gen: int, outputs) -> int:
     return len(values)
 
 
+def window_generations(save_dir: str, gen: int) -> list[int]:
+    """Generations of the window ending at ``gen`` whose ``data.npz``
+    exists, descending. Generations missing from disk are skipped with a
+    notice: a run continued from a packaged checkpoint (e.g. the shipped
+    example net) has no history before its first new generation, and the
+    window simply starts shallower and refills as generations accrue.
+    Raises if the window is entirely absent — training on nothing is
+    always a caller error."""
+    n = window_size(gen)
+    present = [
+        g
+        for g in range(gen, gen - n, -1)
+        if os.path.exists(os.path.join(generation_dir(save_dir, g), "data.npz"))
+    ]
+    if not present:
+        raise FileNotFoundError(
+            f"no replay data for generations {gen - n + 1}..{gen} under {save_dir}"
+        )
+    if len(present) < n:
+        missing = sorted(set(range(gen - n + 1, gen + 1)) - set(present))
+        print(
+            f"replay window {gen - n + 1}..{gen}: {len(missing)} generation(s) "
+            f"missing from disk ({missing[0]}..{missing[-1]}), training on the "
+            f"{len(present)} present",
+            flush=True,
+        )
+    return present
+
+
 def load_window(
     save_dir: str, gen: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Concatenate the replay window ending at ``gen`` (inclusive)."""
-    n = window_size(gen)
     planes, values, policies = [], [], []
-    for g in range(gen, gen - n, -1):
+    for g in window_generations(save_dir, gen):
         path = os.path.join(generation_dir(save_dir, g), "data.npz")
         with np.load(path) as data:
             planes.append(data["planes"])
@@ -145,10 +173,9 @@ def load_window_ex(
 
     Generations whose q cannot be recovered (no games.npz, or multi-part
     alignment) fall back to pure-z targets for their rows."""
-    n = window_size(gen)
     planes, values, policies, weights = [], [], [], []
     lam = float(value_target_mix)
-    for g in range(gen, gen - n, -1):
+    for g in window_generations(save_dir, gen):
         folder = generation_dir(save_dir, g)
         with np.load(os.path.join(folder, "data.npz")) as data:
             planes.append(data["planes"])

@@ -56,6 +56,22 @@ def test_replay_roundtrip(tmp_path):
     assert len(planes3) == 2 * n
 
 
+def test_window_tolerates_missing_generations(tmp_path, capsys):
+    # A run continued from a packaged checkpoint has no history before its
+    # first new generation: the window must skip absent gens (with a
+    # notice), not crash — and must still refuse an entirely-empty window.
+    out = _small_output()
+    n = replay.save_generation(str(tmp_path), 7, out)
+    # gen 7 window is gens 4..7; only gen 7 exists
+    planes, values, policies = replay.load_window(str(tmp_path), 7)
+    assert len(planes) == n
+    assert "missing from disk" in capsys.readouterr().out
+    planes, values, policies, w = replay.load_window_ex(str(tmp_path), 7)
+    assert len(planes) == n and w is None
+    with pytest.raises(FileNotFoundError):
+        replay.load_window(str(tmp_path), 3)
+
+
 def test_game_str_renders(tmp_path):
     out = _small_output()
     text = replay.game_str(
