@@ -468,7 +468,12 @@ def build_7ply(
             else:
                 pending.append((o, nx))
                 cols.append(c)
-        if pending and not blocked:
+        # Blocked positions (some child pending upstream) skip their local
+        # children on budgeted passes — the next table sweep retries them
+        # anyway — but DO solve them on unlimited-budget attempts, so a
+        # position waiting on the 8-ply build overlaps its own hard local
+        # work instead of serialising it after the table completes.
+        if pending and (not blocked or budget == 0):
             vals = _solve_bits(get_solver(), pending, True, n_threads, budget=budget)
             for c, (po, px), v in zip(cols, pending, vals):
                 child_vals[c] = v
@@ -521,29 +526,66 @@ def build_7ply(
         # is complete (no pending upstream keys) or absent — checked
         # *before* sleeping, so an already-complete or missing table never
         # parks the builder forever waiting for an mtime change.
+        #
+        # Idle poll windows are spent solving, not sleeping: positions
+        # whose unresolved children are all OUTSIDE the UCI set (the
+        # upstream build will never deliver them) are finished locally at
+        # unlimited budget while waiting — otherwise that hard-tail work
+        # would serialise after the 8-ply build instead of overlapping it.
+        # Blocked positions solve their local children too on these
+        # unlimited-budget attempts (cached in ``extra``); re-attempts
+        # after a sleep are then near-free dictionary hits.
         budget = pass1_budget
+        local_i = 0
+        since_flush = 0
         while deferred:
             if not pending_uci or not os.path.exists(table_path):
                 # table complete (or no upstream build at all); anything
                 # left is ours to finish locally
                 break
             nonlocal_mtime = os.path.getmtime(table_path)
-            if nonlocal_mtime == table_mtime:
-                time.sleep(poll_seconds)
+            if nonlocal_mtime != table_mtime:
+                table_mtime = nonlocal_mtime
+                table, pending_uci = _load_8ply_status(table_path)
+                t0 = time.time()
+                deferred = [i for i in deferred if not resolve_ip(i, budget)]
+                save_partial()
+                emit()
+                local_i = 0
+                if verbose:
+                    print(
+                        f"7ply follow: {len(ips) - len(deferred)}/{len(ips)} "
+                        f"resolved ({len(table) // 2} table entries, "
+                        f"sweep {time.time() - t0:.0f}s)",
+                        flush=True,
+                    )
                 continue
-            table_mtime = nonlocal_mtime
-            table, pending_uci = _load_8ply_status(table_path)
-            t0 = time.time()
-            deferred = [i for i in deferred if not resolve_ip(i, budget)]
-            save_partial()
-            emit()
-            if verbose:
-                print(
-                    f"7ply follow: {len(ips) - len(deferred)}/{len(ips)} "
-                    f"resolved ({len(table) // 2} table entries, "
-                    f"sweep {time.time() - t0:.0f}s)",
-                    flush=True,
-                )
+            if local_i < len(deferred):
+                i = deferred[local_i]
+                t0 = time.time()
+                if resolve_ip(i, 0, defer_pending_uci=True):
+                    deferred.pop(local_i)
+                    since_flush += 1
+                    if since_flush >= 10:
+                        since_flush = 0
+                        save_partial()
+                        emit()
+                    if verbose:
+                        print(
+                            f"7ply local: {len(ips) - len(deferred)}/{len(ips)} "
+                            f"resolved ({time.time() - t0:.0f}s)",
+                            flush=True,
+                        )
+                else:
+                    local_i += 1
+            else:
+                # every remaining position waits on the upstream build
+                if since_flush:
+                    since_flush = 0
+                    save_partial()
+                    emit()
+                time.sleep(poll_seconds)
+                local_i = 0
         for k, i in enumerate(list(deferred)):
             if resolve_ip(i, 0, defer_pending_uci=False):
                 deferred.remove(i)
