@@ -1,20 +1,14 @@
-"""Round-3 product training run (and the K=8 arm of the parallel_sims A/B).
+"""Round-5 continuation of the product run with the draw-bucket fix.
 
-The published reference workload (filters=64, fc=6, res=6; 1200 games x
-800 sims per generation, ``/root/reference/oinkoink/data/example_config.py``)
-with the TPU-native knobs of ``examples/config.py``. Differences from that
-example, specific to this *run*:
-
-- ``n_eval=5``: a gating match every 5 generations (reference default is
-  every generation; 5 keeps the match cost amortised on a long run while
-  still producing a dense strength curve).
-- ``data_dir`` points at a frozen snapshot of the partially-built 8-ply
-  benchmark (29,116/67,557 positions solved at freeze time). The live copy
-  under ``connect4_tpu/data/files`` keeps growing while the exact solver
-  runs, which would silently change the evaluation subset between
-  generations and make the learning curve internally inconsistent.
-- ``parallel_sims=8``: K-walker leaf parallelism. Justified against exact
-  reference semantics (K=1) by the A/B arm in ``config_r3_k1.py``.
+Identical to ``config_r3_k8.py`` (the published reference workload) except
+``value_target_mix=0.5``: from generation 147 on, the value head trains on
+(z+q)/2 — the final game result mixed with the search value of the played
+move — instead of pure z. Chosen by the offline sweep in
+``scripts/draw_bucket_experiment.py`` (see ENGINEERING_LOG round 5): it
+lifts drawn-8-ply-position accuracy 26% → 46-47%, past the reference
+example net's 44.7%, while *improving* full-set 8-ply MSE 0.100 → 0.086.
+Continuing in the same ``save_dir`` makes the regime change visible on
+the shipped learning curves at the gen-147 mark.
 """
 
 from connect4_tpu.config import (
@@ -32,6 +26,7 @@ config = AlphaZeroConfig(
             n_residuals=6,
             compute_dtype="bfloat16",
         ),
+        value_target_mix=0.5,
     ),
     storage_config=StorageConfig(
         save_dir="/root/connect4_tpu_runs/r3_k8",
