@@ -87,7 +87,16 @@ class MCTSConfig:
     def tree_capacity(self) -> int:
         if self.max_nodes is not None:
             return self.max_nodes
-        return 1 + 7 * self.simulations
+        # One 7-slot child block can be allocated per *search iteration*.
+        # Sequential search (K=1) runs one iteration per simulation; the
+        # walker-deduplicated parallel search runs simulations/K iterations
+        # and expands at most one shared leaf per iteration (all K lockstep
+        # walkers descend to the same node — see mcts/batched.py
+        # _simulate_parallel), so its exact worst case is K-fold smaller.
+        # Right-sizing the slabs matters for speed, not just memory: every
+        # descent gather and backup scatter walks these arrays.
+        iterations = -(-self.simulations // max(self.parallel_sims, 1))
+        return 1 + 7 * iterations
 
 
 @dataclasses.dataclass

@@ -256,13 +256,22 @@ def _expand_metadata(board: BoardState) -> Tuple[jax.Array, jax.Array]:
     ``make_move`` per child (``tree.py:119-132``): child results are known
     at creation time, which is what lets fresh terminal children be
     selected by value immediately.
+
+    One widened env step over a trailing 7-move axis rather than seven
+    sequential steps: the expansion phase is op-launch-latency bound (the
+    arrays are tiny), so collapsing 7x the op count into one batched step
+    is a direct wall-clock win with identical values (``step`` is
+    elementwise over its leading batch shape).
     """
-    terms, tvals = [], []
-    for m in range(WIDTH):
-        child = step(board, jnp.full(board.age.shape, m, jnp.int32))
-        terms.append(child.result != ONGOING)
-        tvals.append(result_value(child.result))
-    return jnp.stack(terms, axis=-1), jnp.stack(tvals, axis=-1)
+    bs = board.age.shape
+    nb = len(bs)
+    tile = lambda x: jnp.broadcast_to(
+        jnp.expand_dims(x, nb), bs + (WIDTH,) + x.shape[nb:]
+    )
+    tiled = jax.tree_util.tree_map(tile, board)
+    moves = jnp.broadcast_to(jnp.arange(WIDTH, dtype=jnp.int32), bs + (WIDTH,))
+    child = step(tiled, moves)
+    return child.result != ONGOING, result_value(child.result)
 
 
 def search(
@@ -924,13 +933,20 @@ def _simulate_parallel(
         next_free=next_free,
     )
 
-    # --- sequential K-way fan-out over the leaf's children ----------------
-    # each walker sees the previous walkers' virtual visits on the leaf's
-    # child block via a local [B, 7] counter (the only overlay state left).
-    # Everything except fan_ov is loop-invariant (the tree is not mutated
-    # between walkers), so the leaf gathers happen once, not K times.
-    new_nodes, new_boards = [], []
-    fan_ov = jnp.zeros((batch, WIDTH), jnp.float32)
+    # --- K-way fan-out over the leaf's children, table-driven -------------
+    # Each walker sees the previous walkers' virtual visits on the leaf's
+    # child block. A child's score for a walker that finds j prior virtual
+    # visits on it depends only on j (every node-level term is
+    # walker-invariant: the tree is not mutated between walkers), so all
+    # K*7 candidate scores are precomputed in ONE broadcast over the
+    # overlay axis j = 0..K-1, and the inherently sequential part
+    # collapses to K tiny gather+argmax rounds on [B, 7]. The K walkers'
+    # boards then step in one batched ``_light_step`` from the shared
+    # leaf board instead of K sequential ones. This phase is op-launch
+    # latency-bound, so ~3x fewer ops is a direct wall-clock win; the
+    # move sequence is bitwise identical to the sequential formulation
+    # (same elementwise arithmetic, reordered only across independent
+    # elements — equivalence is covered by tests/test_mcts.py).
     move_iota = jnp.arange(WIDTH, dtype=jnp.int32)
     fan_valid = _descend_valid(leaf_board)
     fan_side = (leaf_board.age % 2).astype(jnp.int32)
@@ -938,23 +954,40 @@ def _simulate_parallel(
     fan_stats = _take_node(tree2.stats, leaf)  # [B, 4]
     fan_child = _take_child_block(tree2.stats, cb)  # [B, 7, 4]
     fan_prior = _take_node(tree2.prior, leaf)  # [B, 7]
+    # score_table[b, j, c] — child c's score when it carries j virtual visits
+    score_table = _const_overlay_score_parts(
+        fan_stats[:, None, :],
+        fan_child[:, None, :, :],
+        fan_prior[:, None, :],
+        fan_side[:, None],
+        config,
+        fan_valid[:, None, :],
+        K,
+        jnp.arange(K, dtype=jnp.float32)[None, :, None],
+    )  # [B, K, 7]
+    ov_cnt = jnp.zeros((batch, WIDTH), jnp.int32)
+    moves_k = []
     for _k in range(K):
-        scores = _const_overlay_score_parts(
-            fan_stats, fan_child, fan_prior, fan_side, config, fan_valid,
-            K, fan_ov,
-        )
+        scores = jnp.take_along_axis(
+            score_table, ov_cnt[:, None, :], axis=1
+        )[:, 0, :]  # [B, 7]
         move = _argmax_prefer_large(scores)
-        stepped = _light_step(leaf_board, move, expandable)
-        cur = jnp.where(expandable, cb + move, leaf)
-        fan_ov = fan_ov + (
+        ov_cnt = ov_cnt + (
             (move_iota == move[:, None]) & expandable[:, None]
-        ).astype(jnp.float32)
-        new_nodes.append(cur)
-        new_boards.append(stepped)
-    nodes = jnp.stack(new_nodes, axis=1)  # [B, K]
-    boards = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs, axis=1), *new_boards
+        ).astype(jnp.int32)
+        moves_k.append(move)
+    moves = jnp.stack(moves_k, axis=1)  # [B, K]
+    tile_k = lambda x: jnp.broadcast_to(
+        x[:, None, ...], (batch, K) + x.shape[1:]
     )
+    boards = _light_step(
+        jax.tree_util.tree_map(tile_k, leaf_board),
+        moves,
+        jnp.broadcast_to(expandable[:, None], (batch, K)),
+    )
+    nodes = jnp.where(
+        expandable[:, None], cb[:, None] + moves, leaf[:, None]
+    )  # [B, K]
     active_k = jnp.broadcast_to(active[:, None], (batch, K))
 
     # --- lockstep evaluation (as in the reference formulation) ------------
