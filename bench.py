@@ -46,7 +46,9 @@ def main():
     # busy); BENCH_SLOTS=0 selects the pure-lockstep path instead. In fast
     # mode keep slots strictly below n_games so the smoke run still
     # exercises the refill path (the production default).
-    default_slots = min(256, n_games // 2) if fast else min(256, n_games)
+    # 512 slots at K=8 evaluates leaves at batch 4096 — measurably higher
+    # MXU utilisation than 2048 now the tree-walk share is small
+    default_slots = min(256, n_games // 2) if fast else min(512, n_games)
     slots = int(os.environ.get("BENCH_SLOTS", default_slots))
 
     from connect4_tpu.config import MCTSConfig, ModelConfig, NetConfig
@@ -132,18 +134,22 @@ def main():
     values_d = jnp.asarray(values)
     policies_d = jnp.asarray(policies)
     batch_size = min(model_config.batch_size, n)
+    from connect4_tpu.training.learner import make_batch_gather
+
+    gather = make_batch_gather(batch_size)
+    n_full = (n // batch_size) * batch_size
+    gather_tail = make_batch_gather(n - n_full) if n > n_full else None
     key = jax.random.key(1)
     for _ in range(model_config.n_training_epochs):
         key, perm_key = jax.random.split(key)
         order = jax.random.permutation(perm_key, n)
-        for i in range(0, n, batch_size):
-            idx = order[i : i + batch_size]
-            state, metrics = train_step(
-                state,
-                jnp.take(planes_d, idx, axis=0),
-                jnp.take(values_d, idx, axis=0),
-                jnp.take(policies_d, idx, axis=0),
-            )
+        arrays = (planes_d, values_d, policies_d)
+        for i in range(0, n_full, batch_size):
+            batch = gather(arrays, order, np.int32(i))
+            state, metrics = train_step(state, *batch)
+        if gather_tail is not None:
+            batch = gather_tail(arrays, order, np.int32(n_full))
+            state, metrics = train_step(state, *batch)
     jax.block_until_ready(state)
     t_total = time.time() - t_gen
 

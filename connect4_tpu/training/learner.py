@@ -133,6 +133,27 @@ def make_train_step(
     return train_step
 
 
+def make_batch_gather(batch_size: int):
+    """Fused minibatch gather: ``(arrays, order, start) -> tuple of
+    arrays[order[start:start+batch_size]]`` in ONE device call.
+
+    The epoch loop's per-batch host work (slice the permutation, three or
+    four ``jnp.take`` calls, then the step) costs 4-5 dispatch round-trips
+    per batch; on a remote-transport TPU backend those round-trips — not
+    the device compute — dominate training wall-clock. ``start`` is traced
+    (pass a numpy scalar, not a Python int), so every full batch of an
+    epoch reuses one compiled program. Gather semantics are identical to
+    the unfused takes.
+    """
+
+    @jax.jit
+    def gather(arrays, order, start):
+        idx = jax.lax.dynamic_slice_in_dim(order, start, batch_size)
+        return tuple(jnp.take(a, idx, axis=0) for a in arrays)
+
+    return gather
+
+
 def make_eval_fn(net: Connect4Net):
     """Inference forward: ``(params, batch_stats, planes_nhwc) -> (value, prior)``
     with running BN statistics (the reference's ``net.eval()`` mode)."""

@@ -40,6 +40,7 @@ from connect4_tpu.training import checkpoint as ckpt
 from connect4_tpu.training import replay
 from connect4_tpu.training.learner import (
     TrainState,
+    make_batch_gather,
     make_eval_fn,
     make_optimizer,
     make_train_step,
@@ -251,29 +252,36 @@ class TrainingLoop:
         if self.mesh is not None:
             n_dev = int(np.prod(list(self.mesh.shape.values())))
 
+        # fused per-batch gather: one device call per batch instead of
+        # 4-5 (slice + takes); host dispatch round-trips, not device
+        # compute, dominate this phase on remote TPU transports
+        arrays = (planes_d, values_d, policies_d)
+        if weights_d is not None:
+            arrays = arrays + (weights_d,)
+        n_full = (n // batch_size) * batch_size
+        gather = make_batch_gather(batch_size)
+        gather_tail = make_batch_gather(n - n_full) if n > n_full else None
+
+        def run_batch(batch, size):
+            # DP-shard full batches over the mesh; the (rare) tail
+            # batch that does not divide runs replicated so the math
+            # stays exactly the reference's drop_last=False pass
+            if n_dev > 1 and size % n_dev == 0:
+                self.state, _ = self.sharded_train_step(self.state, *batch)
+            else:
+                self.state, _ = self.train_step(self.state, *batch)
+
         for _ in range(mc.n_training_epochs):
             self.key, perm_key = jax.random.split(self.key)
             order = jax.random.permutation(perm_key, n)
             # every sample trains, including the final partial batch
             # (torch DataLoader drop_last=False, reference model.py:200-240)
-            for i in range(0, n, batch_size):
-                idx = order[i : i + batch_size]
-                batch = (
-                    jnp.take(planes_d, idx, axis=0),
-                    jnp.take(values_d, idx, axis=0),
-                    jnp.take(policies_d, idx, axis=0),
+            for i in range(0, n_full, batch_size):
+                run_batch(gather(arrays, order, np.int32(i)), batch_size)
+            if gather_tail is not None:
+                run_batch(
+                    gather_tail(arrays, order, np.int32(n_full)), n - n_full
                 )
-                if weights_d is not None:
-                    batch = batch + (jnp.take(weights_d, idx, axis=0),)
-                # DP-shard full batches over the mesh; the (rare) tail
-                # batch that does not divide runs replicated so the math
-                # stays exactly the reference's drop_last=False pass
-                if n_dev > 1 and len(idx) % n_dev == 0:
-                    self.state, metrics = self.sharded_train_step(
-                        self.state, *batch
-                    )
-                else:
-                    self.state, metrics = self.train_step(self.state, *batch)
         ckpt.save_checkpoint(self.save_dir, self.gen, self.state, self.key)
 
     def _benchmark_path(self, name: str) -> Optional[str]:
