@@ -26,8 +26,10 @@ config = AlphaZeroConfig(
     simulations=800,
     n_training_games=1200,
     # slot pool smaller than the game budget selects compact-and-refill
-    # self-play (every search row stays busy; measured fastest at 256)
-    selfplay_batch=256,
+    # self-play (every search row stays busy). 512 slots at K=8 evaluate
+    # leaves at batch 4096 — the fastest measured configuration since the
+    # round-5 slab right-sizing (256 was optimal before it).
+    selfplay_batch=512,
     n_eval=500,
     parallel_sims=8,
     sims_per_call=200,

@@ -194,6 +194,21 @@ def test_parallel_sims_tactics(moves, plies, best):
     assert int(res.move[0]) in best, (board, int(res.move[0]))
 
 
+def test_parallel_tree_capacity_is_exact():
+    """The walker-deduplicated search expands at most one shared child
+    block per iteration, so the slab capacity 1 + 7*(sims/K) is the exact
+    worst case (right-sizing it is a large perf win — the slabs are walked
+    by every descent gather and backup scatter). The allocator must never
+    exceed it, and a full-budget search must stay in bounds."""
+    config = MCTSConfig(simulations=48, parallel_sims=8)
+    assert config.tree_capacity() == 1 + 7 * 6
+    assert MCTSConfig(simulations=48).tree_capacity() == 1 + 7 * 48
+    run = make_search_fn(centre_evaluator_batched, config)
+    boards = [HostBoard(), board_from_moves([3, 3, 2, 4])]
+    res = run(stack_boards(boards), jax.random.key(0))
+    assert int(np.asarray(res.tree.next_free).max()) <= config.tree_capacity()
+
+
 def test_parallel_sims_visit_accounting():
     """Every walker contributes exactly one real visit per iteration:
     root visits == 1 + simulations regardless of parallelism."""
