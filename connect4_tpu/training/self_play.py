@@ -321,6 +321,11 @@ def make_refill_play_fn(
     def record_step_refill(
         state, game_ids, bufs, results, next_game, move, value, policy, active
     ):
+        # width-polymorphic: the drain phase re-traces this at narrower
+        # pool widths (see the compaction below), so row counts come from
+        # the inputs, not the closure. At full width Sw == S, Sbw == Sb.
+        Sw = active.shape[0]
+        Sbw = Sw // n_blocks
         planes_b, moves_b, values_b, policies_b, mask_b = bufs
         gid = jnp.where(active, game_ids, G)  # OOB rows dropped
         t = state.age  # pre-move ply index within the game
@@ -339,12 +344,12 @@ def make_refill_play_fn(
         done = active & (state.result != ONGOING)
         res_gid = jnp.where(done, game_ids, G)
         results = results.at[res_gid].set(state.result, mode="drop")
-        done_blk = done.reshape(n_blocks, Sb)
+        done_blk = done.reshape(n_blocks, Sbw)
         rank = jnp.cumsum(done_blk.astype(jnp.int32), axis=1) - 1  # among done
-        new_id = (next_game[:, None] + rank).reshape(S)
+        new_id = (next_game[:, None] + rank).reshape(Sw)
         block_end = (jnp.arange(n_blocks, dtype=jnp.int32) + 1) * Gb
-        can_start = done & (new_id < jnp.repeat(block_end, Sb))
-        fresh = initial_state((S,))
+        can_start = done & (new_id < jnp.repeat(block_end, Sbw))
+        fresh = initial_state((Sw,))
         reset = lambda cur, f: jnp.where(
             can_start.reshape(can_start.shape + (1,) * (cur.ndim - 1)), f, cur
         )
@@ -360,12 +365,43 @@ def make_refill_play_fn(
             active_next.sum(dtype=jnp.int32),
         )
 
+    def compact(state, game_ids, active, width: int):
+        """Keep the ``width`` rows that are live (plus idle filler), in a
+        deterministic order: live rows first, original order preserved.
+        Callers guarantee live <= width. Dropped rows are all idle — their
+        games are finished and already recorded in the game-indexed
+        buffers, so no information leaves the pool."""
+        Sw = active.shape[0]
+        keys = jnp.where(active, 0, Sw + 1) * Sw + jnp.arange(Sw, dtype=jnp.int32)
+        perm = jnp.argsort(keys)[:width]
+        take = lambda x: jnp.take(x, perm, axis=0)
+        return (
+            jax.tree_util.tree_map(take, state),
+            jnp.take(game_ids, perm),
+            jnp.take(active, perm),
+        )
+
     init_jit = jax.jit(init)
     record_jit = jax.jit(record_step_refill)
+    compact_jit = jax.jit(compact, static_argnums=(3,))
     split_jit = jax.jit(jax.random.split)
+    # Drain-phase pool narrowing: once the game budget is exhausted, the
+    # pool only empties, but every wave still pays full-width search cost
+    # for its idle rows (~28% of all wave cost at the 512-slot flagship:
+    # a ~40-wave tail at ~40% occupancy). When the live count fits in
+    # half the pool, compact the live rows into a half-width pool and
+    # continue there (jit re-traces the same search/record programs at
+    # the narrower width). Per-game search semantics are untouched — the
+    # search is row-independent — only the PRNG stream assignment shifts,
+    # which is already this function's documented contract vs lockstep.
+    # Restricted to unsharded single-block pools: sharded pools must keep
+    # their per-device row layout.
+    can_narrow = n_blocks == 1 and mesh is None
+    MIN_WIDTH = 64
 
     def run(key: jax.Array, progress=None) -> SelfPlayOutput:
         state, game_ids, bufs, results, next_game, active = init_jit()
+        width = S
         pending_live = None  # previous wave's live-count, still on device
         for wave in range(G * AREA):  # safety bound; exits when pool drains
             key, search_key = split_jit(key)
@@ -386,6 +422,14 @@ def make_refill_play_fn(
                     progress(wave - 1, live)
                 if not live:
                     break
+                # the lagged count only ever overstates the current live
+                # count once the budget is gone, so fitting is guaranteed
+                if can_narrow and live <= width // 2 and width // 2 >= MIN_WIDTH:
+                    while live <= width // 2 and width // 2 >= MIN_WIDTH:
+                        width //= 2
+                    state, game_ids, active = compact_jit(
+                        state, game_ids, active, width
+                    )
             pending_live = live_dev
         else:
             # Safety-bound exit (no drain): flush the final wave's live

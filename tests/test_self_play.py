@@ -148,6 +148,36 @@ def test_refill_plays_all_games_and_replays_consistently():
     assert (sums[~out.mask] == 0.0).all()
 
 
+def test_refill_drain_narrowing_replays_consistently():
+    """With slots >= 128, the drain phase compacts live rows into
+    progressively narrower pools (floor 64). Every game must still finish,
+    be recorded exactly once, and replay move-by-move on the host oracle
+    — compaction only relocates rows, never touches game state."""
+    from connect4_tpu.training.self_play import make_refill_play_fn
+
+    config = MCTSConfig(simulations=4, num_sampling_moves=4,
+                        root_dirichlet_alpha=0.3, root_exploration_fraction=0.25)
+    play = make_refill_play_fn(
+        centre_evaluator_batched, config, slots=128, total_games=140
+    )
+    widths = []
+    out = jax.tree_util.tree_map(
+        np.asarray, play(jax.random.key(11), progress=lambda w, n: widths.append(n))
+    )
+    assert (out.result != 0).all(), "all games must finish"
+    assert min(w for w in widths if w) < 64, "drain must reach the narrow phase"
+    for b in range(0, 140, 17):
+        board = HostBoard()
+        for t in range(int(out.length[b])):
+            mv = int(out.moves[b, t])
+            assert mv in board.valid_moves, f"game {b} ply {t} move {mv}"
+            board.make_move(mv)
+        assert board.result is not None and board.result.code == int(out.result[b])
+    sums = out.policies.sum(-1)
+    np.testing.assert_allclose(sums[out.mask], 1.0, atol=1e-5)
+    assert (sums[~out.mask] == 0.0).all()
+
+
 def test_refill_chunked_search_path():
     """Refill with per-ply search chunking still finishes every game."""
     from connect4_tpu.training.self_play import make_refill_play_fn
