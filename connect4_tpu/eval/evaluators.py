@@ -106,3 +106,31 @@ def make_net_evaluator(net, params, batch_stats, fold_bn: bool = True) -> Batche
         )
 
     return evaluate
+
+
+def make_pallas_net_evaluator(net, params, batch_stats) -> BatchedEvaluator:
+    """Folded-BN evaluator running the fused Pallas tower
+    (``models.pallas_net``): the whole 13-conv forward for a tile of
+    boards stays VMEM-resident instead of round-tripping each layer's
+    activation through HBM. Same inference-only transform chain as
+    ``make_net_evaluator(fold_bn=True)``; outputs agree to bf16 rounding
+    (tests/test_pallas_net.py). Opt-in backend — see README perf notes."""
+    from connect4_tpu.env.core import to_planes
+    from connect4_tpu.models.net import fold_bn_params
+    from connect4_tpu.models.pallas_net import make_pallas_forward, pack_weights
+
+    folded = jax.jit(
+        lambda p, s: fold_bn_params(net.config, p, s)
+    )(params, batch_stats)
+    packed = jax.jit(lambda f: pack_weights(net.config, f))(folded)
+    forward = make_pallas_forward(net.config, packed)
+
+    def evaluate(state: BoardState):
+        planes = to_planes(state)  # [..., 3, 6, 7]
+        nhwc = jnp.moveaxis(planes, -3, -1).astype(jnp.float32)
+        lead = nhwc.shape[:-3]
+        flat = nhwc.reshape((-1,) + nhwc.shape[-3:])
+        value, prior = forward(flat)
+        return value.reshape(lead), prior.reshape(lead + (WIDTH,))
+
+    return evaluate
